@@ -1,0 +1,77 @@
+"""DecNet-TPU benchmark: stereo pairs/sec on the flagship config.
+
+Measures end-to-end inference throughput of the full 4-stage DecNet model
+(max_disp 216, base_channels 8, bf16, Pallas sparse matching) at the
+SceneFlow eval resolution 540x960 (padded to 540x972, eval.sh:1) on the
+available accelerator, and prints ONE JSON line:
+
+  {"metric": "pairs_per_sec", "value": N, "unit": "stereo pairs/s",
+   "vs_baseline": R}
+
+Baseline note: the reference repo publishes no throughput number
+(BASELINE.md); the divisor below (20 pairs/s) is the documented estimate of
+the PyTorch+CUDA reference on a contemporary datacenter GPU at this
+resolution (~50 ms/pair) pending a measured run. The driver target is
+vs_baseline >= 2.0.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_PAIRS_PER_SEC_ESTIMATE = 20.0
+
+
+def main():
+    from decnet_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+    from decnet_tpu.config import ModelConfig
+    from decnet_tpu.models import get_model
+
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+    cfg = ModelConfig(max_disp=216, base_channels=8, num_stage=4,
+                      down_scale=3, cost_func="cor", use_detail=True,
+                      thold=0.9,
+                      dtype="bfloat16" if on_tpu else "float32",
+                      matching_impl="auto")
+    model = get_model("decnet", cfg)
+    H, W = (540, 972) if on_tpu else (54, 108)
+    batch = 2 if on_tpu else 1
+
+    rng = np.random.RandomState(0)
+    left = jnp.asarray(rng.rand(batch, H, W, 3), jnp.float32)
+    right = jnp.asarray(rng.rand(batch, H, W, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 54, 54, 3)), jnp.zeros((1, 54, 54, 3)))
+
+    @jax.jit
+    def forward(variables, left, right):
+        return model.apply(variables, left, right, train=False)["preds"][-1]
+
+    # warmup + compile
+    forward(variables, left, right).block_until_ready()
+
+    iters = 10 if on_tpu else 2
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = forward(variables, left, right)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    pairs_per_sec = batch * iters / dt
+
+    print(json.dumps({
+        "metric": "pairs_per_sec",
+        "value": round(pairs_per_sec, 3),
+        "unit": "stereo pairs/s (540x972, max_disp 216, bf16, 1 chip)",
+        "vs_baseline": round(pairs_per_sec / REFERENCE_PAIRS_PER_SEC_ESTIMATE,
+                             3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+"""Folder-based inference CLI (reference demo.py parity).
+
+For each scene directory under --root containing im0.png/im1.png (and an
+optional calib.txt with ndisp): pad to x27, compute detail masks, run the
+model, write `<scene>.png` uint16 submission maps (disp*256, bottom-right
+crop) into --save2where.
+
+Usage:
+  python -m decnet_tpu.cli.demo --root InputData/Sceneflow \
+      --save2where out/ [--resume ckpt_dir] [--max_disp 216] ...
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from decnet_tpu.utils.cache import enable_compilation_cache
+from decnet_tpu.cli.common import add_config_args, build_config, \
+    init_model_and_state
+from decnet_tpu.data import io as dio
+from decnet_tpu.data import masks as dmasks
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    add_config_args(p)
+    p.add_argument("--root", type=str, required=True)
+    p.add_argument("--save2where", type=str, required=True)
+    p.add_argument("--mask_thold", type=float, default=0.3,
+                   help="precomputed-mask threshold (demo.py:161)")
+    args = p.parse_args(argv)
+
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    cfg = build_config(args)
+    model, state, _ = init_model_and_state(cfg, args.resume,
+                                           for_training=False)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    os.makedirs(args.save2where, exist_ok=True)
+
+    # bucket compiled forwards by (H, W, max_disp)
+    import functools
+
+    @functools.lru_cache(maxsize=8)
+    def forward_for(max_disp):
+        @jax.jit
+        def fwd(variables, left, right, lm0, lm1, lm2, rm0, rm1, rm2):
+            out = model.apply(variables, left, right,
+                              [lm0, lm1, lm2], [rm0, rm1, rm2],
+                              train=False, max_disp=max_disp)
+            return out["preds"][-1]
+        return fwd
+
+    scenes = sorted(d for d in os.listdir(args.root)
+                    if os.path.isdir(os.path.join(args.root, d)))
+    for name in scenes:
+        sdir = os.path.join(args.root, name)
+        left = dio.read_image(os.path.join(sdir, "im0.png"))
+        right = dio.read_image(os.path.join(sdir, "im1.png"))
+        ori_h, ori_w = left.shape[:2]
+        ndisp = dio.read_calib_ndisp(os.path.join(sdir, "calib.txt")) \
+            or cfg.model.max_disp
+
+        lp = dio.pad_to_multiple(left.astype(np.float32) / 255.0, 27)
+        rp = dio.pad_to_multiple(right.astype(np.float32) / 255.0, 27)
+        lmasks = dmasks.detail_masks_np(lp, cfg.model.down_scale,
+                                        cfg.model.num_stage - 1,
+                                        args.mask_thold)
+        rmasks = dmasks.detail_masks_np(rp, cfg.model.down_scale,
+                                        cfg.model.num_stage - 1,
+                                        args.mask_thold)
+        ln = dio.normalize_image(lp)[None]
+        rn = dio.normalize_image(rp)[None]
+
+        fwd = forward_for(int(ndisp))
+        t0 = time.perf_counter()
+        pred = fwd(variables, ln, rn, *[m[None] for m in lmasks],
+                   *[m[None] for m in rmasks])
+        pred = np.asarray(jax.block_until_ready(pred))[0]
+        dt = time.perf_counter() - t0
+        dio.write_submission_png(os.path.join(args.save2where, name + ".png"),
+                                 pred, ori_h, ori_w)
+        print(f"{name}: {lp.shape[0]}x{lp.shape[1]} ndisp={ndisp} "
+              f"cost time: {dt:.3f}s")
+
+    print("The testing is completed:",
+          time.strftime("%Y-%m-%d %H:%M:%S"))
+
+
+if __name__ == "__main__":
+    main()

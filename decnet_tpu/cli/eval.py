@@ -1,0 +1,104 @@
+"""Dataset evaluation / submission CLI (reference eval.py parity).
+
+--is_eval 1: print mean EPE and loss_3 (3px-or-5% error rate) over the split.
+otherwise:  write uint16 submission PNGs per sample.
+
+Usage:
+  python -m decnet_tpu.cli.eval --dataset sceneflow --root /data/sf \
+      --test_split test --batch_size 4 --is_eval 1 [--resume ckpt]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from decnet_tpu.utils.cache import enable_compilation_cache
+from decnet_tpu.cli.common import add_config_args, build_config, \
+    init_model_and_state
+from decnet_tpu.data import io as dio
+from decnet_tpu.data.datasets import get_dataset
+from decnet_tpu.data.loader import DataLoader
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    add_config_args(p)
+    p.add_argument("--dataset", type=str, required=True)
+    p.add_argument("--root", type=str, required=True)
+    p.add_argument("--test_split", type=str, default="test")
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--is_eval", type=int, default=1)
+    p.add_argument("--save2where", type=str, default="eval_out")
+    p.add_argument("--mask_source", type=str, default="compute",
+                   choices=["compute", "precomputed"])
+    args = p.parse_args(argv)
+
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+    from decnet_tpu.train.metrics import epe_and_d1
+
+    cfg = build_config(args)
+    model, state, _ = init_model_and_state(cfg, args.resume,
+                                           for_training=False)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    ds = get_dataset(args.dataset, args.root, split=args.test_split,
+                     is_training=False, mask_source=args.mask_source,
+                     scale=cfg.model.down_scale,
+                     levels=cfg.model.num_stage - 1)
+    loader = DataLoader(ds, batch_size=args.batch_size,
+                        num_workers=args.num_workers)
+
+    import functools
+
+    @functools.lru_cache(maxsize=8)
+    def forward_for(max_disp):
+        @jax.jit
+        def fwd(variables, left, right, lmasks, rmasks):
+            out = model.apply(variables, left, right, lmasks, rmasks,
+                              train=False, max_disp=max_disp)
+            return out["preds"][-1]
+        return fwd
+
+    epes, d1s, times = [], [], []
+    os.makedirs(args.save2where, exist_ok=True)
+    for bi, batch in enumerate(loader):
+        # Middlebury: per-scene ndisp drives max_disp (eval.py:174-175),
+        # bucketed to x27 so compiles are reused.
+        nd = int(max(batch["n_disp"])) if isinstance(batch["n_disp"], list) \
+            else cfg.model.max_disp
+        nd = int(np.ceil(nd / 27) * 27)
+        fwd = forward_for(nd)
+        t0 = time.perf_counter()
+        pred = fwd(variables, batch["left"], batch["right"],
+                   tuple(batch["left_masks"]) if False else batch["left_masks"],
+                   batch["right_masks"])
+        pred = np.asarray(jax.block_until_ready(pred))
+        times.append(time.perf_counter() - t0)
+
+        if args.is_eval:
+            epe, d1 = epe_and_d1(jnp.asarray(pred),
+                                 jnp.asarray(batch["gt"]), nd)
+            epes.append(float(epe))
+            d1s.append(float(d1))
+            print(f"batch {bi}: EPE {epes[-1]:.4f}  loss_3 {d1s[-1]:.3f}%  "
+                  f"({times[-1]:.3f}s)")
+        else:
+            for i, name in enumerate(batch["name"]):
+                dio.write_submission_png(
+                    os.path.join(args.save2where, f"{name}.png"), pred[i],
+                    batch["ori_h"][i], batch["ori_w"][i])
+
+    if args.is_eval and epes:
+        print(f"MEAN EPE: {np.mean(epes):.4f}   "
+              f"MEAN loss_3: {np.mean(d1s):.3f}%   "
+              f"mean fwd time {np.mean(times[1:] or times):.3f}s")
+
+
+if __name__ == "__main__":
+    main()

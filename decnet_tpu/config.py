@@ -1,0 +1,162 @@
+"""Configuration system for DecNet-TPU.
+
+The reference scatters ~25 argparse flags across demo.py/eval.py plus a
+config.json of dataset roots; canonical values live in demo.sh/eval.sh.  Here
+everything is a typed dataclass, serialisable to/from JSON/YAML, with the
+shipped reference configuration as defaults (demo.sh:1, eval.sh:1).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import List, Optional, Tuple
+
+try:
+    import yaml
+except Exception:  # pragma: no cover
+    yaml = None
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    """Architecture hyper-parameters (reference
+    SparseDenseNetRefinementMask.__init__, :17-62)."""
+    arch: str = "decnet"
+    max_disp: int = 216
+    base_channels: int = 8
+    num_stage: int = 4
+    down_scale: int = 3
+    cost_func: str = "cor"              # cor | cat | ssd
+    grad_method: str = "detach"         # detach | undetach
+    skip_stage_id: int = 4              # stages >= this use plain upsampling
+    use_detail: bool = True             # learned detail masks
+    thold: float = 0.9                  # detail binarisation threshold
+    # adaptive-sampling knobs (exposed by the reference CLI, eval.sh:1)
+    step: Tuple[float, ...] = (-1, 1, 1, 1)
+    samp_num: Tuple[int, ...] = (-1, 12, 10, 6)
+    sample_spa_size_list: Tuple[int, ...] = (-1, 3, 5, 7)
+    dtype: str = "bfloat16"             # compute dtype (params stay f32)
+    matching_impl: str = "auto"         # auto | pallas | xla
+
+    def __post_init__(self):
+        assert self.max_disp % (self.down_scale ** (self.num_stage - 1)) == 0, (
+            f"max_disp({self.max_disp}) must be divisible by "
+            f"down_scale^{self.num_stage - 1}")
+        assert self.cost_func in ("cor", "cat", "ssd")
+        assert self.num_stage <= 4
+
+
+@dataclasses.dataclass
+class LossConfig:
+    loss_type: str = "multi_stage_regression_uploss"
+    weights: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0)
+    down_func_name: str = "bicubic"     # GT pyramid: bilinear|bicubic|max|min
+    if_overmask: bool = False           # mask sky rows (<108/down) for KITTI
+    alpha: float = 0.1                  # detail-mask loss weight
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    lr: float = 1e-3
+    lr_schedule: str = "cosine"         # cosine | constant | piecewise
+    warmup_steps: int = 500
+    total_steps: int = 300_000
+    weight_decay: float = 0.0
+    batch_size: int = 8
+    crop_h: int = 270
+    crop_w: int = 513
+    seed: int = 37
+    ckpt_dir: str = "checkpoints"
+    ckpt_every: int = 2000
+    log_every: int = 50
+    keep_ckpts: int = 5
+
+
+@dataclasses.dataclass
+class MeshConfig:
+    """Device mesh axes: data x tile(H) x disp(S)."""
+    data: int = -1                      # -1: all devices on the data axis
+    tile: int = 1
+    disp: int = 1
+
+
+@dataclasses.dataclass
+class DataConfig:
+    dataset: str = "sceneflow"
+    root: str = ""
+    split: str = "train"
+    img_rows: int = 540
+    img_cols: int = 960
+    num_workers: int = 4
+    mask_thold: float = 0.3
+    mask_source: str = "compute"        # compute | precomputed
+
+
+@dataclasses.dataclass
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    loss: LossConfig = dataclasses.field(default_factory=LossConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+
+    def to_dict(self):
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Config":
+        def build(tp, sub):
+            fields = {f.name: f for f in dataclasses.fields(tp)}
+            kwargs = {}
+            for k, v in sub.items():
+                if k not in fields:
+                    raise KeyError(f"unknown config key {tp.__name__}.{k}")
+                ft = fields[k].type
+                if isinstance(v, list):
+                    v = tuple(v)
+                kwargs[k] = v
+            return tp(**kwargs)
+
+        return cls(model=build(ModelConfig, d.get("model", {})),
+                   loss=build(LossConfig, d.get("loss", {})),
+                   train=build(TrainConfig, d.get("train", {})),
+                   mesh=build(MeshConfig, d.get("mesh", {})),
+                   data=build(DataConfig, d.get("data", {})))
+
+    @classmethod
+    def load(cls, path: str) -> "Config":
+        with open(path) as f:
+            if path.endswith((".yaml", ".yml")) and yaml is not None:
+                return cls.from_dict(yaml.safe_load(f) or {})
+            return cls.from_dict(json.load(f))
+
+    def save(self, path: str):
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f, indent=2)
+
+    def apply_overrides(self, overrides: List[str]) -> "Config":
+        """Apply 'section.key=value' CLI overrides, e.g. model.max_disp=192."""
+        d = self.to_dict()
+        for ov in overrides:
+            key, _, val = ov.partition("=")
+            parts = key.split(".")
+            cur = d
+            for p in parts[:-1]:
+                cur = cur[p]
+            old = cur.get(parts[-1])
+            cur[parts[-1]] = _parse_value(val, old)
+        return Config.from_dict(d)
+
+
+def _parse_value(val: str, old):
+    if isinstance(old, bool):
+        return val.lower() in ("1", "true", "yes")
+    if isinstance(old, int):
+        return int(val)
+    if isinstance(old, float):
+        return float(val)
+    if isinstance(old, (tuple, list)):
+        return tuple(json.loads(val) if val.startswith("[")
+                     else [float(x) if "." in x or "-" in x else int(x)
+                           for x in val.split(",")])
+    return val

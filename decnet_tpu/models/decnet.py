@@ -1,0 +1,148 @@
+"""DecNet: the decomposition stereo-matching model, TPU-native.
+
+Re-design of reference modules/SparseDenseNetRefinementMask.py:16-257 as a
+functional flax module.  Per forward pass:
+
+  stage 0 (1/27): dense cost volume (warp + cor) -> 3D-conv regularisation ->
+                  soft-argmin disparity.
+  stages 1..3:    learned (or precomputed) detail masks -> dynamic upsampling
+                  of the coarse prediction (dense branch) -> Pallas sparse
+                  matching on detail pixels (sparse branch) + its variance ->
+                  soft-attention fusion -> residual refinement.
+
+Outputs a dict of per-stage tensors; losses/metrics are computed outside the
+module (decnet_tpu/train/loss.py) in functional style — XLA dead-code
+eliminates whatever a jitted caller does not use, which replaces the
+reference's is_check/is_eval return-signature zoo
+(SparseDenseNetRefinementMask.py:214-236).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from decnet_tpu.config import ModelConfig
+from decnet_tpu.nn.feature import FeatureExtractor
+from decnet_tpu.nn.heads import (CostRegNet, DynamicUpsampling, SoftAttention,
+                                 Refinement, DetailHead)
+from decnet_tpu.ops.cost_volume import build_cost_volume
+from decnet_tpu.ops.regression import uniform_disp_samples, disparity_regression
+from decnet_tpu.ops.matching import sparse_matching, sparse_var
+from decnet_tpu.ops.resize import interpolate
+
+
+class DecNet(nn.Module):
+    """`masks`: list of (left, right) detail masks per fine stage, coarsest
+    first, each (B,h_s,w_s) in {0,1}; optional when use_detail=True.
+    `max_disp` may be overridden per call (static python int, bucketed by the
+    caller) for per-scene disparity ranges (demo.py:172-173)."""
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, left, right,
+                 left_masks: Optional[Sequence[jax.Array]] = None,
+                 right_masks: Optional[Sequence[jax.Array]] = None,
+                 *, train: bool = False,
+                 max_disp: Optional[int] = None) -> Dict[str, Any]:
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.dtype)
+        max_disp = int(max_disp or cfg.max_disp)
+        ns, scale = cfg.num_stage, cfg.down_scale
+
+        extractor = FeatureExtractor(cfg.base_channels, ns, scale,
+                                     dtype=dtype, name="feature_extractor")
+        left_all = extractor(left.astype(dtype), train=train)
+        right_all = extractor(right.astype(dtype), train=train)
+
+        out: Dict[str, Any] = {k: [] for k in (
+            "preds", "dense", "sparse", "fusion", "soft_mask", "var",
+            "residual", "left_details", "right_details", "masks_used")}
+
+        pred = None
+        pre_left = pre_right = None
+        for stage in range(ns):
+            lf = left_all[f"stage{stage}"]
+            rf = right_all[f"stage{stage}"]
+            cur_max_disp = max_disp // (scale ** (ns - stage - 1))
+
+            if stage == 0:
+                B, H, W, _ = lf.shape
+                samples = uniform_disp_samples(cur_max_disp, B, H, W)
+                vol = build_cost_volume(lf, rf, samples.astype(dtype),
+                                        cfg.cost_func)
+                cost = CostRegNet(lf.shape[-1], cfg.cost_func, dtype=dtype,
+                                  name="cost_reg")(vol, train=train)
+                pred = disparity_regression(cost, samples)
+                pre_left, pre_right = lf, rf
+                out["preds"].append(pred)
+                continue
+
+            if stage >= cfg.skip_stage_id:
+                # plain bicubic upsampling escape hatch (Middlebury full-res,
+                # SparseDenseNetRefinementMask.py:143-144)
+                H, W = lf.shape[1], lf.shape[2]
+                pred = interpolate(pred * scale, H, W, "bicubic")
+                out["preds"].append(pred)
+                continue
+
+            if cfg.use_detail:
+                head = DetailHead(dtype=dtype, name=f"detail_{stage - 1}")
+                l_logit, _, _ = head(lf, pre_left, train=train)
+                r_logit, _, _ = head(rf, pre_right, train=train)
+                l_detail = jax.nn.sigmoid(l_logit)
+                r_detail = jax.nn.sigmoid(r_logit)
+                out["left_details"].append(l_detail)
+                out["right_details"].append(r_detail)
+                lmask = jax.lax.stop_gradient(
+                    (l_detail > cfg.thold).astype(jnp.float32))
+                rmask = jax.lax.stop_gradient(
+                    (r_detail > cfg.thold).astype(jnp.float32))
+            else:
+                lmask = left_masks[stage - 1].astype(jnp.float32)
+                rmask = right_masks[stage - 1].astype(jnp.float32)
+            out["masks_used"].append(lmask)
+            pre_left, pre_right = lf, rf
+
+            cur = jax.lax.stop_gradient(pred) if cfg.grad_method == "detach" \
+                else pred
+
+            dense = DynamicUpsampling(scale, dtype=dtype,
+                                      name=f"dyn_up_{stage - 1}")(
+                cur, lf, train=train)
+            out["dense"].append(dense)
+
+            sparse = sparse_matching(lf, rf, lmask, rmask, cur_max_disp,
+                                     cfg.matching_impl)
+            out["sparse"].append(sparse)
+
+            var = jax.lax.stop_gradient(
+                sparse_var(lf, rf, lmask, rmask,
+                           jax.lax.stop_gradient(sparse), cur_max_disp,
+                           cfg.matching_impl))
+            out["var"].append(var)
+
+            att_in = jnp.concatenate([
+                lf,
+                dense[..., None].astype(dtype),
+                sparse[..., None].astype(dtype),
+                lmask[..., None].astype(dtype),
+                (-var)[..., None].astype(dtype)], axis=-1)
+            soft = SoftAttention(cfg.base_channels, dtype=dtype,
+                                 name=f"soft_att_{stage - 1}")(
+                att_in, train=train)
+            out["soft_mask"].append(soft)
+
+            fused = dense * (1.0 - soft) + soft * sparse
+            out["fusion"].append(fused)
+
+            pred, residual = Refinement(
+                lf.shape[-1], stage_id=stage,
+                dtype=dtype, name=f"refine_{stage - 1}")(
+                lf, rf, fused, train=train)
+            out["residual"].append(residual)
+            out["preds"].append(pred)
+
+        return out

@@ -1,0 +1,131 @@
+"""Shared-weight feature pyramid UNet (reference FeatExtNetChannelPlus,
+modules/submodule.py:209-343).
+
+Encoder: conv0 (C, full res) -> conv1 (3C, 1/3) -> conv2 (9C, 1/9) ->
+conv3 (27C, 1/27) with an ASPP context branch fused by 1x1.  Decoder: three
+deconv blocks (stride-3 transpose conv + skip concat + 2 convs).  Outputs a
+dict {"stage0": coarsest (1/27, 27C), ..., "stage3": full res (C)}.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from decnet_tpu.nn.layers import ConvUnit, DeconvUnit
+
+
+class ASPP(nn.Module):
+    """Atrous spatial pyramid (submodule.py:225-241): 1x1 conv + 3x3 convs at
+    the given dilation rates, channel-concatenated."""
+    features: int
+    rates: Sequence[int] = (4, 8, 12)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        outs = [ConvUnit(self.features, 1, padding=0, dtype=self.dtype,
+                         name="c0")(x, train=train)]
+        for i, r in enumerate(self.rates):
+            outs.append(ConvUnit(self.features, 3, dilation=r, padding=r,
+                                 dtype=self.dtype,
+                                 name=f"c{i + 1}")(x, train=train))
+        return jnp.concatenate(outs, axis=-1)
+
+
+class DeconvBlock(nn.Module):
+    """Stride-3 upsample + skip fusion (submodule.py:162-179)."""
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_skip, x, *, train: bool = False):
+        x_up = DeconvUnit(self.features, 3, 3, dtype=self.dtype,
+                          name="deconv")(x, train=train)
+        y = jnp.concatenate([x_up, x_skip], axis=-1)
+        y = ConvUnit(self.features, 3, padding=1, dtype=self.dtype,
+                     name="conv_0")(y, train=train)
+        y = ConvUnit(self.features, 3, padding=1, dtype=self.dtype,
+                     name="conv_1")(y, train=train)
+        return y
+
+
+class FeatureExtractor(nn.Module):
+    """4-scale pyramid; `out_channels` is coarse->fine [27C, 9C, 3C, C]."""
+    base_channels: int = 8
+    num_stage: int = 4
+    down_scale: int = 3
+    dtype: Any = jnp.float32
+
+    @property
+    def out_channels(self):
+        chans = [self.base_channels * self.down_scale ** i
+                 for i in range(self.num_stage)]
+        return chans[::-1]
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False) -> Dict[str, jax.Array]:
+        C, s = self.base_channels, self.down_scale
+        ns = self.num_stage
+        outputs: Dict[str, jax.Array] = {}
+
+        conv0 = ConvUnit(C, 3, padding=1, dtype=self.dtype,
+                         name="conv0_0")(x, train=train)
+        conv0 = ConvUnit(C, 3, padding=1, dtype=self.dtype,
+                         name="conv0_1")(conv0, train=train)
+        if ns == 1:
+            outputs["stage0"] = conv0
+            return outputs
+
+        conv1 = ConvUnit(C * s, 3, stride=s, padding=1, dtype=self.dtype,
+                         name="conv1_0")(conv0, train=train)
+        conv1 = ConvUnit(C * s, 3, padding=1, dtype=self.dtype,
+                         name="conv1_1")(conv1, train=train)
+        conv1 = ConvUnit(C * s, 3, padding=1, dtype=self.dtype,
+                         name="conv1_2")(conv1, train=train)
+        if ns > 2:
+            conv2 = ConvUnit(C * s * s, 3, stride=s, padding=1,
+                             dtype=self.dtype, name="conv2_0")(conv1, train=train)
+            conv2 = ConvUnit(C * s * s, 3, padding=1, dtype=self.dtype,
+                             name="conv2_1")(conv2, train=train)
+            conv2 = ConvUnit(C * s * s, 3, padding=1, dtype=self.dtype,
+                             name="conv2_2")(conv2, train=train)
+            if ns > 3:
+                c27 = C * s ** 3
+                conv3_1 = ConvUnit(c27, 3, stride=s, padding=1,
+                                   dtype=self.dtype,
+                                   name="conv3_1")(conv2, train=train)
+                conv3_2 = ConvUnit(c27, 3, padding=1, dtype=self.dtype,
+                                   name="conv3_2a")(conv3_1, train=train)
+                conv3_2 = ConvUnit(c27, 3, padding=1, dtype=self.dtype,
+                                   name="conv3_2b")(conv3_2, train=train)
+                ctx = ASPP(c27, dtype=self.dtype, name="aspp")(conv3_1,
+                                                               train=train)
+                ctx = ConvUnit(c27, 1, padding=0, dtype=self.dtype,
+                               name="ctx_fuse")(ctx, train=train)
+                conv3 = ConvUnit(c27, 1, padding=0, dtype=self.dtype,
+                                 name="fusion")(
+                    jnp.concatenate([conv3_2, ctx], axis=-1), train=train)
+                outputs["stage0"] = conv3
+                skip2 = ConvUnit(C * s * s, 1, padding=0, dtype=self.dtype,
+                                 name="trans2")(conv2, train=train)
+                res = DeconvBlock(C * s * s, dtype=self.dtype,
+                                  name="deconv3")(skip2, conv3, train=train)
+            else:
+                res = conv2
+            outputs[f"stage{ns - 3}"] = res
+            skip1 = ConvUnit(C * s, 1, padding=0, dtype=self.dtype,
+                             name="trans1")(conv1, train=train)
+            res = DeconvBlock(C * s, dtype=self.dtype,
+                              name="deconv2")(skip1, res, train=train)
+        else:
+            res = conv1
+        outputs[f"stage{ns - 2}"] = res
+        skip0 = ConvUnit(C, 1, padding=0, dtype=self.dtype,
+                         name="trans0")(conv0, train=train)
+        res = DeconvBlock(C, dtype=self.dtype,
+                          name="deconv1")(skip0, res, train=train)
+        outputs[f"stage{ns - 1}"] = res
+        return outputs

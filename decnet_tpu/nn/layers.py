@@ -1,0 +1,146 @@
+"""Conv/norm building blocks (flax.linen), NHWC/NDHWC, bf16-friendly.
+
+TPU-native equivalents of the reference conv units (modules/submodule.py:15-179).
+Weight init matches the reference He-normal fan-out scheme
+(SparseDenseNetRefinementMask.py:239-257); BatchNorm uses torch conventions
+(momentum 0.1 -> flax momentum 0.9, eps 1e-5) and is synchronous by
+construction: under jit+GSPMD, batch statistics are global means over the
+sharded batch axis, which subsumes the reference's SyncBN machinery
+(modules/sync_batchnorm/, 743 LoC) with zero extra code.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+# He-normal, fan_out: std = sqrt(2 / (prod(kernel) * out_features)).
+he_fan_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+def _pair(v, n=2):
+    return tuple(v) if isinstance(v, (tuple, list)) else (v,) * n
+
+
+class ConvUnit(nn.Module):
+    """Conv2d + optional BatchNorm/GroupNorm + ReLU/LeakyReLU
+    (reference Conv2dUnit, submodule.py:15-49)."""
+    features: int
+    kernel_size: Union[int, Tuple[int, int]] = 3
+    stride: Union[int, Tuple[int, int]] = 1
+    dilation: Union[int, Tuple[int, int]] = 1
+    padding: Union[int, Tuple[int, int]] = 0
+    relu: bool = True
+    lrelu: bool = False
+    bn: bool = True
+    gn: bool = False
+    gn_group: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        k = _pair(self.kernel_size)
+        p = _pair(self.padding)
+        x = nn.Conv(self.features, k, strides=_pair(self.stride),
+                    padding=[(p[0], p[0]), (p[1], p[1])],
+                    kernel_dilation=_pair(self.dilation),
+                    use_bias=not (self.bn or self.gn),
+                    kernel_init=he_fan_out, dtype=self.dtype,
+                    param_dtype=jnp.float32)(x)
+        if self.bn:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype,
+                             param_dtype=jnp.float32)(x)
+        elif self.gn:
+            x = nn.GroupNorm(num_groups=self.gn_group, dtype=self.dtype,
+                             param_dtype=jnp.float32)(x)
+        if self.relu:
+            x = nn.relu(x)
+        if self.lrelu:
+            x = nn.leaky_relu(x, negative_slope=0.1)
+        return x
+
+
+class DeconvUnit(nn.Module):
+    """ConvTranspose2d + BN + ReLU (reference Deconv2dUnit,
+    submodule.py:52-87). With kernel 3 / stride 3 / VALID padding the output
+    is exactly 3x the input, matching torch ConvTranspose2d(k=3, s=3, p=0)."""
+    features: int
+    kernel_size: int = 3
+    stride: int = 3
+    relu: bool = True
+    bn: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        x = nn.ConvTranspose(self.features, _pair(self.kernel_size),
+                             strides=_pair(self.stride), padding="VALID",
+                             use_bias=not self.bn, kernel_init=he_fan_out,
+                             dtype=self.dtype, param_dtype=jnp.float32)(x)
+        if self.bn:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype,
+                             param_dtype=jnp.float32)(x)
+        if self.relu:
+            x = nn.relu(x)
+        return x
+
+
+class Conv3dUnit(nn.Module):
+    """Conv3d + BN + ReLU over (S,H,W) volumes, NDHWC
+    (reference Conv3dUnit, submodule.py:90-123)."""
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    relu: bool = True
+    bn: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        p = self.padding
+        x = nn.Conv(self.features, _pair(self.kernel_size, 3),
+                    strides=_pair(self.stride, 3),
+                    padding=[(p, p)] * 3, use_bias=not self.bn,
+                    kernel_init=he_fan_out, dtype=self.dtype,
+                    param_dtype=jnp.float32)(x)
+        if self.bn:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype,
+                             param_dtype=jnp.float32)(x)
+        if self.relu:
+            x = nn.relu(x)
+        return x
+
+
+def unfold_nonoverlap(x: jax.Array, k: int) -> jax.Array:
+    """F.unfold(kernel=k, stride=k) on NHWC -> (B, H/k, W/k, C*k*k) with
+    torch's channel-major patch ordering (c*k*k + ki*k + kj)."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // k, k, W // k, k, C)
+    x = x.transpose(0, 1, 3, 5, 2, 4)          # B, H/k, W/k, C, ki, kj
+    return x.reshape(B, H // k, W // k, C * k * k)
+
+
+def unfold3x3_replicate(x: jax.Array) -> jax.Array:
+    """3x3 stride-1 neighbourhoods with replication padding on (B,H,W):
+    returns (B,H,W,9) ordered (ki*3+kj) — the reference's
+    F.unfold(ReplicationPad2d(1)(disp)) (submodule.py:584)."""
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    H, W = x.shape[1], x.shape[2]
+    return jnp.stack([xp[:, i:i + H, j:j + W]
+                      for i in range(3) for j in range(3)], axis=-1)
+
+
+def pixel_shuffle(x: jax.Array, r: int) -> jax.Array:
+    """torch F.pixel_shuffle on NHWC: (B,H,W,r*r) -> (B,H*r,W*r,1), channel
+    c = i*r+j lands at output offset (i, j)."""
+    B, H, W, C = x.shape
+    assert C == r * r
+    x = x.reshape(B, H, W, r, r)
+    x = x.transpose(0, 1, 3, 2, 4)             # B, H, i, W, j
+    return x.reshape(B, H * r, W * r, 1)

@@ -1,0 +1,120 @@
+"""High-frequency "lost detail" detection — Gaussian-pyramid residual masks.
+
+TPU-native port of the reference's CPU detail detector
+(utils/utils.py:392-534 `detailDetection`): per pyramid level, blur+downsample
+by `scale`, re-upsample, take the |residual| summed over RGB, min-max
+normalise, and threshold into a binary mask.  The reference runs this per
+image in cv2 on the host (the CPU hot loop of demo.py:161-162); here it is a
+few separable convs + resizes that run on-device inside jit, so mask
+generation rides along with the forward pass.
+
+Also provides the wavelet-based variant the paper describes
+(utils/Wavelet.py:8-123 — shipped broken upstream: its weight pickle is
+missing; re-implemented here with standard Haar filters).
+
+Returns masks coarsest-last to mirror ``detailDetection(...)[::-1]`` feeding
+order (demo.py:166-168): ``masks[s-1]`` is the mask for pyramid stage ``s``.
+"""
+from __future__ import annotations
+
+import math
+from typing import List, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from decnet_tpu.ops.resize import interpolate
+
+
+def _gauss_kernel1d(ksize: int, sigma: float) -> np.ndarray:
+    """cv2.getGaussianKernel parity (normalised sampled Gaussian)."""
+    xs = np.arange(ksize, dtype=np.float64) - (ksize - 1) / 2.0
+    k = np.exp(-(xs ** 2) / (2.0 * sigma ** 2))
+    return (k / k.sum()).astype(np.float32)
+
+
+def gaussian_blur(img: jax.Array, ksize: int, sigma: float = 1.0) -> jax.Array:
+    """Separable Gaussian blur with reflect-101 borders (cv2 default).
+
+    img (B,H,W,C)."""
+    k = jnp.asarray(_gauss_kernel1d(ksize, sigma))
+    pad = ksize // 2
+    x = jnp.pad(img, ((0, 0), (pad, pad), (0, 0), (0, 0)), mode="reflect")
+    x = sum(k[i] * x[:, i:i + img.shape[1]] for i in range(ksize))
+    x = jnp.pad(x, ((0, 0), (0, 0), (pad, pad), (0, 0)), mode="reflect")
+    x = sum(k[i] * x[:, :, i:i + img.shape[2]] for i in range(ksize))
+    return x
+
+
+def detail_masks(img: jax.Array, scale: int = 3, levels: int = 3,
+                 thold: float = 0.3) -> List[jax.Array]:
+    """Binary detail masks from the Gaussian-pyramid residual.
+
+    img: (B,H,W,C) in [0,1], H and W divisible by scale**levels.
+    Returns [mask_{1/scale^(levels-1)}, ..., mask_{1/scale}, mask_full], i.e.
+    coarsest first — ready to index as mask_list[stage-1] like the model does.
+    Each mask is (B,h,w) float32 in {0,1}.
+    """
+    data = img
+    residuals = []
+    for _ in range(levels):
+        B, H, W, C = data.shape
+        down = interpolate(gaussian_blur(data, 3, 1.0), H // scale,
+                           W // scale, "bilinear")
+        up = gaussian_blur(interpolate(down, H, W, "bilinear"), 5, 1.0)
+        residuals.append(jnp.abs(data - up).sum(axis=-1))
+        data = down
+
+    masks = []
+    for r in residuals:
+        lo = r.min(axis=(1, 2), keepdims=True)
+        hi = r.max(axis=(1, 2), keepdims=True)
+        norm = (r - lo) / jnp.maximum(hi - lo, 1e-12)
+        masks.append((norm >= thold).astype(jnp.float32))
+    return masks[::-1]
+
+
+# ---------------------------------------------------------------------------
+# Wavelet variant (utils/Wavelet.py) — Haar high-frequency energy masks
+# ---------------------------------------------------------------------------
+
+_HAAR = {
+    "lh": np.array([[0.5, 0.5], [-0.5, -0.5]], np.float32),
+    "hl": np.array([[0.5, -0.5], [0.5, -0.5]], np.float32),
+    "hh": np.array([[0.5, -0.5], [-0.5, 0.5]], np.float32),
+}
+
+
+def _haar_hf_energy(gray: jax.Array) -> jax.Array:
+    """Max |HF coefficient| over the three Haar detail bands; stride-2.
+
+    gray (B,H,W) -> (B,H/2,W/2)."""
+    B, H, W = gray.shape
+    x = gray.reshape(B, H // 2, 2, W // 2, 2)
+    e = None
+    for f in _HAAR.values():
+        k = jnp.asarray(f)
+        band = jnp.abs(jnp.einsum("bhiwj,ij->bhw", x, k))
+        e = band if e is None else jnp.maximum(e, band)
+    return e
+
+
+def wavelet_detail_masks(img: jax.Array, levels: int = 3,
+                         percentile: float = 85.0) -> List[jax.Array]:
+    """Wavelet detail masks (utils/Wavelet.py:66-123 semantics): per level,
+    take the max |high-frequency| energy, then threshold at the given
+    per-image percentile of the energy distribution.
+
+    Returns masks coarsest-first at resolutions H/2^level (wavelets halve per
+    level, unlike the x3 Gaussian pyramid; callers resize to stage grids).
+    """
+    gray = img.mean(axis=-1)
+    masks = []
+    for _ in range(levels):
+        e = _haar_hf_energy(gray)
+        th = jnp.percentile(e.reshape(e.shape[0], -1), percentile, axis=1)
+        masks.append((e >= th[:, None, None]).astype(jnp.float32))
+        gray = interpolate(gray, gray.shape[1] // 2, gray.shape[2] // 2,
+                           "bilinear")
+    return masks[::-1]

@@ -1,0 +1,253 @@
+"""Masked sparse stereo matching & variance — the DecNet custom ops, TPU-style.
+
+The reference implements these as hand-written CUDA kernels
+(modules/SparseMatching/src/SM_kernel.cu, modules/SparseVar/src/SV_kernel.cu):
+for each left pixel with ``ref_mask != 0`` scan disparities ``d in
+[0, min(max_disp, w+1))``, skip right pixels with ``tar_mask == 0``, score by a
+feature dot product, and take a softmax-weighted expectation of ``d`` (SpaMat)
+or of ``(d - disparity)^2`` (SpaVar), using a two-pass online softmax.
+
+This is exactly banded row-wise cross-attention: left pixels are queries,
+right pixels in the trailing ``max_disp`` window are keys, and the "values"
+are the disparity offsets themselves.  The TPU build therefore provides:
+
+* an XLA implementation (`impl='xla'`) — a `lax.scan` over disparity with an
+  online max/sum carry (the same decomposition as SM_kernel.cu:100-124), so
+  the (B,S,H,W) score volume is never materialised;
+* a Pallas flash-attention-style kernel (`impl='pallas'`,
+  decnet_tpu/ops/pallas/spamat.py) for the hot path;
+* `jax.custom_vjp` rules that reproduce the reference's analytic backward
+  (SM_kernel.cu:143-355, SV_kernel.cu:142-325).
+
+Numerics parity: max-cost is clamped to >= 1e-6 (SM_kernel.cu:45) and both
+softmax accumulators carry a +1e-6 bias (SM_kernel.cu:100), so a masked-in
+left pixel with *no* valid right pixel outputs exactly 1.0.
+
+Layout: feats (B,H,W,C) float32/bf16, masks (B,H,W) (0 = inactive).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+EPS = 1e-6
+_NEG = -3.0e38  # effectively -inf for f32 without nan hazards
+
+
+def _pad_tar(tar: jax.Array, max_disp: int) -> jax.Array:
+    """Left-pad the W axis with max_disp-1 zeros so shift-by-d is a slice."""
+    pad = [(0, 0)] * tar.ndim
+    pad[2] = (max_disp - 1, 0)
+    return jnp.pad(tar, pad)
+
+
+def _shift_right(padded: jax.Array, d: jax.Array, W: int, max_disp: int) -> jax.Array:
+    """tar[w-d] with zeros for w < d, from a pre-padded array."""
+    start = [0] * padded.ndim
+    start[2] = max_disp - 1 - d
+    sizes = list(padded.shape)
+    sizes[2] = W
+    return lax.dynamic_slice(padded, start, sizes)
+
+
+def _shift_left(x: jax.Array, d: jax.Array, max_disp: int) -> jax.Array:
+    """x[w+d] with zeros for w+d >= W (scatter side of the band)."""
+    pad = [(0, 0)] * x.ndim
+    pad[2] = (0, max_disp - 1)
+    xp = jnp.pad(x, pad)
+    start = [0] * x.ndim
+    start[2] = d
+    return lax.dynamic_slice(xp, start, list(x.shape))
+
+
+def matching_moments(ref, tar, ref_mask, tar_mask, max_disp: int):
+    """Online-softmax moments over the disparity band.
+
+    Returns (m, se, sed, sed2), each (B,H,W) f32:
+      m    = max over valid d of score(d)        (-inf when no valid d)
+      se   = sum_d exp(score - max(m, EPS))
+      sed  = sum_d exp(...) * d
+      sed2 = sum_d exp(...) * d^2
+    The EPS clamp on the max matches SM_kernel.cu:45; accumulator biases are
+    added by the callers.
+    """
+    B, H, W, C = ref.shape
+    ref = ref.astype(jnp.float32)
+    tarp = _pad_tar(tar.astype(jnp.float32), max_disp)
+    tmaskp = _pad_tar((tar_mask != 0).astype(jnp.float32), max_disp)
+
+    def step(carry, d):
+        m, se, sed, sed2 = carry
+        tar_d = _shift_right(tarp, d, W, max_disp)
+        ok = _shift_right(tmaskp, d, W, max_disp) > 0
+        s = jnp.sum(ref * tar_d, axis=-1)
+        s = jnp.where(ok, s, _NEG)
+        m_new = jnp.maximum(m, s)
+        scale = jnp.exp(m - m_new)        # exp(-inf - finite) = 0: safe
+        e = jnp.where(ok, jnp.exp(s - m_new), 0.0)
+        d_f = d.astype(jnp.float32)
+        return (m_new, se * scale + e, sed * scale + e * d_f,
+                sed2 * scale + e * d_f * d_f), None
+
+    z = jnp.zeros((B, H, W), jnp.float32)
+    init = (jnp.full((B, H, W), _NEG, jnp.float32), z, z, z)
+    (m, se, sed, sed2), _ = lax.scan(step, init, jnp.arange(max_disp))
+    m_fin = jnp.maximum(m, EPS)
+    r = jnp.exp(m - m_fin)                # rescale to the clamped max
+    return m_fin, se * r, sed * r, sed2 * r
+
+
+# ---------------------------------------------------------------------------
+# sparse_matching — SpaMat
+# ---------------------------------------------------------------------------
+
+def _spamat_fwd_xla(ref, tar, ref_mask, tar_mask, max_disp: int):
+    m, se, sed, _ = matching_moments(ref, tar, ref_mask, tar_mask, max_disp)
+    refm = ref_mask != 0
+    out = jnp.where(refm, (EPS + sed) / (EPS + se), 0.0)
+    sum_sim = jnp.where(refm, EPS + se, 0.0)
+    max_cost = jnp.where(refm, m, 0.0)
+    return out, sum_sim, max_cost
+
+
+def _spamat_bwd_xla(ref, tar, ref_mask, tar_mask, out, sum_sim, max_cost, g,
+                    max_disp: int):
+    """Analytic grads, parity with SM_kernel.cu:143-195 (ref) / :300-355 (tar)."""
+    B, H, W, C = ref.shape
+    ref32 = ref.astype(jnp.float32)
+    tarp = _pad_tar(tar.astype(jnp.float32), max_disp)
+    tmaskp = _pad_tar((tar_mask != 0).astype(jnp.float32), max_disp)
+    refm = ref_mask != 0
+    inv_ss = jnp.where(refm, 1.0 / jnp.where(refm, sum_sim, 1.0), 0.0)
+    g_over_ss = g * inv_ss
+
+    def step(carry, d):
+        acc_ref, acc_tar = carry
+        tar_d = _shift_right(tarp, d, W, max_disp)
+        ok = _shift_right(tmaskp, d, W, max_disp) > 0
+        s = jnp.sum(ref32 * tar_d, axis=-1)
+        e = jnp.where(ok & refm, jnp.exp(s - max_cost), 0.0)
+        d_f = d.astype(jnp.float32)
+        wq = e * (d_f - out)                       # query-side weight
+        acc_ref = acc_ref + (wq * g_over_ss)[..., None] * tar_d
+        # scatter to key side: grad_tar[w] += (g*e*(d-out)/ss)[w+d] * ref[w+d]
+        q_term = (wq * g_over_ss)[..., None] * ref32
+        acc_tar = acc_tar + _shift_left(q_term, d, max_disp)
+        return (acc_ref, acc_tar), None
+
+    z = jnp.zeros((B, H, W, C), jnp.float32)
+    (gref, gtar), _ = lax.scan(step, (z, z), jnp.arange(max_disp))
+    gref = gref * refm[..., None]
+    gtar = gtar * (tar_mask != 0)[..., None]
+    return gref.astype(ref.dtype), gtar.astype(tar.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def sparse_matching(ref, tar, ref_mask, tar_mask, max_disp: int,
+                    impl: str = "auto"):
+    """Masked softargmin disparity from sparse matching (SpaMat).
+
+    Args: ref/tar (B,H,W,C) features, ref_mask/tar_mask (B,H,W), static
+    max_disp. Returns the (B,H,W) expected-disparity map (0 where
+    ref_mask == 0). Differentiable w.r.t. ref and tar.
+    """
+    out, _, _ = _spamat_dispatch(ref, tar, ref_mask, tar_mask, max_disp, impl)
+    return out
+
+
+def _spamat_dispatch(ref, tar, ref_mask, tar_mask, max_disp, impl):
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from decnet_tpu.ops.pallas import spamat as _k
+        return _k.spamat_forward(ref, tar, ref_mask, tar_mask, max_disp)
+    return _spamat_fwd_xla(ref, tar, ref_mask, tar_mask, max_disp)
+
+
+def _spamat_vjp_fwd(ref, tar, ref_mask, tar_mask, max_disp, impl):
+    out, sum_sim, max_cost = _spamat_dispatch(ref, tar, ref_mask, tar_mask,
+                                              max_disp, impl)
+    return out, (ref, tar, ref_mask, tar_mask, out, sum_sim, max_cost)
+
+
+def _spamat_vjp_bwd(max_disp, impl, res, g):
+    ref, tar, ref_mask, tar_mask, out, sum_sim, max_cost = res
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from decnet_tpu.ops.pallas import spamat as _k
+        gref, gtar = _k.spamat_backward(ref, tar, ref_mask, tar_mask, out,
+                                        sum_sim, max_cost, g, max_disp)
+    else:
+        gref, gtar = _spamat_bwd_xla(ref, tar, ref_mask, tar_mask, out,
+                                     sum_sim, max_cost, g, max_disp)
+    return gref, gtar, jnp.zeros_like(ref_mask), jnp.zeros_like(tar_mask)
+
+
+sparse_matching.defvjp(_spamat_vjp_fwd, _spamat_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# sparse_var — SpaVar
+# ---------------------------------------------------------------------------
+
+def _spavar_fwd_xla(ref, tar, ref_mask, tar_mask, disparity, max_disp: int):
+    m, se, sed, sed2 = matching_moments(ref, tar, ref_mask, tar_mask, max_disp)
+    refm = ref_mask != 0
+    disparity = disparity.astype(jnp.float32)
+    svar = sed2 - 2.0 * disparity * sed + disparity * disparity * se
+    out = jnp.where(refm, (EPS + svar) / (EPS + se), 0.0)
+    sum_sim = jnp.where(refm, EPS + se, 0.0)
+    max_cost = jnp.where(refm, m, 0.0)
+    return out, sum_sim, max_cost, sed, se
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def sparse_var(ref, tar, ref_mask, tar_mask, disparity, max_disp: int,
+               impl: str = "auto"):
+    """Softmax-weighted variance of the disparity band around `disparity`
+    (SpaVar, SV_kernel.cu:76-124). Returns (B,H,W); 0 where ref_mask == 0.
+
+    The shipped model evaluates this under stop_gradient
+    (SparseDenseNetRefinementMask.py:188-192); the disparity gradient
+    (SV_kernel.cu:275-325) is provided for completeness.
+    """
+    out, *_ = _spavar_dispatch(ref, tar, ref_mask, tar_mask, disparity,
+                               max_disp, impl)
+    return out
+
+
+def _spavar_dispatch(ref, tar, ref_mask, tar_mask, disparity, max_disp, impl):
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from decnet_tpu.ops.pallas import spamat as _k
+        return _k.spavar_forward(ref, tar, ref_mask, tar_mask, disparity,
+                                 max_disp)
+    return _spavar_fwd_xla(ref, tar, ref_mask, tar_mask, disparity, max_disp)
+
+
+def _spavar_vjp_fwd(ref, tar, ref_mask, tar_mask, disparity, max_disp, impl):
+    out, sum_sim, max_cost, sed, se = _spavar_dispatch(
+        ref, tar, ref_mask, tar_mask, disparity, max_disp, impl)
+    return out, (ref, tar, ref_mask, tar_mask, disparity, sum_sim, sed, se)
+
+
+def _spavar_vjp_bwd(max_disp, impl, res, g):
+    ref, tar, ref_mask, tar_mask, disparity, sum_sim, sed, se = res
+    refm = ref_mask != 0
+    inv_ss = jnp.where(refm, 1.0 / jnp.where(refm, sum_sim, 1.0), 0.0)
+    # SV_kernel.cu:275-325: grad_disp = -2 g * sum_d e*(d-disp) / sum_sim
+    acc = sed - disparity.astype(jnp.float32) * se
+    gdisp = (-2.0 * g * acc * inv_ss).astype(disparity.dtype)
+    # Feature grads of the variance are latent/unused in the shipped model
+    # (called under no_grad); zero them as torch's no_grad context does.
+    return (jnp.zeros_like(ref), jnp.zeros_like(tar),
+            jnp.zeros_like(ref_mask), jnp.zeros_like(tar_mask), gdisp)
+
+
+sparse_var.defvjp(_spavar_vjp_fwd, _spavar_vjp_bwd)

@@ -1,0 +1,301 @@
+"""Pallas TPU kernels for masked sparse stereo matching (SpaMat/SpaVar).
+
+Design (TPU-first, not a CUDA translation): the op is banded row-wise
+cross-attention.  For each left pixel (query) q at column w, keys are the
+right pixels in [w-max_disp+1, w]; the score is a feature dot product and the
+output is the softmax-weighted expected disparity (SpaMat) or variance around
+a given disparity (SpaVar) — reference math in
+modules/SparseMatching/src/SM_kernel.cu:22-125 and
+modules/SparseVar/src/SV_kernel.cu:22-124.
+
+Kernel layout: rows (B*H) are independent and shard/tile freely.  Features are
+transposed to (rows, C, W) so W rides the 128-lane axis and C the sublanes.
+Each program holds RB rows x one TW query tile, slices the TW+D-1 key window
+out of a full-row VMEM block, computes the (RB, TW, KW) score tile on the MXU,
+and reduces the band with a masked softmax — scores never touch HBM (the XLA
+fallback scans disparity instead; see decnet_tpu/ops/matching.py).
+
+The backward kernels follow the flash-attention split: dRef consumes the
+query-side band again; dTar runs over key tiles with the mirrored window
+(SM_kernel.cu:300-355's forward scan).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+EPS = 1e-6
+_NEG = -3.0e38
+DEF_TW = 128
+
+
+def _interpret() -> bool:
+    """Interpret kernels off-TPU so the same code path runs in CPU tests."""
+    return jax.default_backend() != "tpu"
+DEF_RB = 8
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _rows(x):
+    """(B,H,W,C) -> (B*H, C, W) f32; masks (B,H,W) -> (B*H, W)."""
+    if x.ndim == 4:
+        B, H, W, C = x.shape
+        return x.astype(jnp.float32).reshape(B * H, W, C).transpose(0, 2, 1)
+    B, H, W = x.shape
+    return x.astype(jnp.float32).reshape(B * H, W)
+
+
+def _pad_rows(x, r_to, w_to, w_axis, left=0):
+    """Pad rows to r_to and the W axis to total width w_to (left zeros for the
+    disparity band, remainder on the right)."""
+    pads = [(0, 0)] * x.ndim
+    pads[0] = (0, r_to - x.shape[0])
+    pads[w_axis] = (left, w_to - left - x.shape[w_axis])
+    return jnp.pad(x, pads)
+
+
+# ---------------------------------------------------------------------------
+# Forward moments kernel
+# ---------------------------------------------------------------------------
+
+def _moments_kernel(ref_ref, rm_ref, tar_ref, tm_ref,
+                    m_ref, se_ref, sed_ref, sed2_ref,
+                    *, max_disp: int, tw: int):
+    t = pl.program_id(1)
+    dp = max_disp - 1
+    kw = tw + dp
+    q = ref_ref[...]                       # (RB, C, TW)
+    k = tar_ref[:, :, pl.ds(t * tw, kw)]   # (RB, C, KW) from padded full row
+    km = tm_ref[:, pl.ds(t * tw, kw)]      # (RB, KW)
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)  # (RB,TW,KW)
+    qi = jax.lax.broadcasted_iota(jnp.int32, (tw, kw), 0)
+    kj = jax.lax.broadcasted_iota(jnp.int32, (tw, kw), 1)
+    d = qi - kj + dp                        # disparity per (query, key)
+    band = (d >= 0) & (d < max_disp)
+    valid = band[None] & (km[:, None, :] > 0)
+
+    s = jnp.where(valid, s, _NEG)
+    m = jnp.max(s, axis=2)
+    m_c = jnp.maximum(m, EPS)               # SM_kernel.cu:45 max-cost floor
+    e = jnp.where(valid, jnp.exp(s - m_c[:, :, None]), 0.0)
+    d_f = d.astype(jnp.float32)[None]
+    m_ref[...] = m_c
+    se_ref[...] = jnp.sum(e, axis=2)
+    sed_ref[...] = jnp.sum(e * d_f, axis=2)
+    sed2_ref[...] = jnp.sum(e * d_f * d_f, axis=2)
+
+
+@functools.partial(jax.jit, static_argnames=("max_disp", "tw", "rb"))
+def moments(ref, tar, ref_mask, tar_mask, max_disp: int,
+            tw: int = DEF_TW, rb: int = DEF_RB):
+    """Banded online-softmax moments (m, se, sed, sed2), each (B,H,W) f32."""
+    B, H, W, C = ref.shape
+    R = B * H
+    dp = max_disp - 1
+    Rp = _ceil_to(max(R, rb), rb)
+    Wp = _ceil_to(max(W, tw), tw)
+
+    refr = _pad_rows(_rows(ref), Rp, Wp, 2)
+    rmr = _pad_rows(_rows(ref_mask), Rp, Wp, 1)
+    tarr = _pad_rows(_rows(tar), Rp, Wp + dp, 2, left=dp)
+    tmr = _pad_rows(_rows(tar_mask), Rp, Wp + dp, 1, left=dp)
+
+    grid = (Rp // rb, Wp // tw)
+    out_spec = pl.BlockSpec((rb, tw), lambda r, t: (r, t),
+                            memory_space=pltpu.VMEM)
+    shp = jax.ShapeDtypeStruct((Rp, Wp), jnp.float32)
+    m, se, sed, sed2 = pl.pallas_call(
+        functools.partial(_moments_kernel, max_disp=max_disp, tw=tw),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rb, C, tw), lambda r, t: (r, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, tw), lambda r, t: (r, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, C, Wp + dp), lambda r, t: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, Wp + dp), lambda r, t: (r, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(out_spec,) * 4,
+        out_shape=(shp,) * 4,
+        interpret=_interpret(),
+    )(refr, rmr, tarr, tmr)
+
+    def unpack(x):
+        return x[:R, :W].reshape(B, H, W)
+    return unpack(m), unpack(se), unpack(sed), unpack(sed2)
+
+
+def spamat_forward(ref, tar, ref_mask, tar_mask, max_disp: int):
+    """(out, sum_sim, max_cost) with CUDA-parity epsilon semantics."""
+    m, se, sed, _ = moments(ref, tar, ref_mask, tar_mask, max_disp)
+    refm = ref_mask != 0
+    out = jnp.where(refm, (EPS + sed) / (EPS + se), 0.0)
+    return out, jnp.where(refm, EPS + se, 0.0), jnp.where(refm, m, 0.0)
+
+
+def spavar_forward(ref, tar, ref_mask, tar_mask, disparity, max_disp: int):
+    """(var, sum_sim, max_cost, sed, se) — SpaVar forward."""
+    m, se, sed, sed2 = moments(ref, tar, ref_mask, tar_mask, max_disp)
+    refm = ref_mask != 0
+    disp = disparity.astype(jnp.float32)
+    svar = sed2 - 2.0 * disp * sed + disp * disp * se
+    out = jnp.where(refm, (EPS + svar) / (EPS + se), 0.0)
+    return (out, jnp.where(refm, EPS + se, 0.0), jnp.where(refm, m, 0.0),
+            sed, se)
+
+
+# ---------------------------------------------------------------------------
+# Backward kernels
+# ---------------------------------------------------------------------------
+
+def _dref_kernel(ref_ref, tar_ref, tm_ref, mc_ref, out_ref, w_ref,
+                 gref_ref, *, max_disp: int, tw: int):
+    """grad_ref[q] = (g/sum_sim)[q] * sum_k e(q,k) * (d - out[q]) * tar[k]
+    (SM_kernel.cu:143-195). w_ref holds g/sum_sim pre-gated by ref_mask."""
+    t = pl.program_id(1)
+    dp = max_disp - 1
+    kw = tw + dp
+    q = ref_ref[...]
+    k = tar_ref[:, :, pl.ds(t * tw, kw)]
+    km = tm_ref[:, pl.ds(t * tw, kw)]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+    qi = jax.lax.broadcasted_iota(jnp.int32, (tw, kw), 0)
+    kj = jax.lax.broadcasted_iota(jnp.int32, (tw, kw), 1)
+    d = qi - kj + dp
+    band = (d >= 0) & (d < max_disp)
+    valid = band[None] & (km[:, None, :] > 0)
+    e = jnp.where(valid, jnp.exp(s - mc_ref[...][:, :, None]), 0.0)
+    wq = e * (d.astype(jnp.float32)[None] - out_ref[...][:, :, None])
+    wq = wq * w_ref[...][:, :, None]
+    # (RB,C,KW) x (RB,TW,KW) -> (RB,C,TW)
+    gref_ref[...] = jax.lax.dot_general(
+        k, wq, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+
+
+def _dtar_kernel(tar_ref, tm_ref, ref_ref, mc_ref, out_ref, w_ref,
+                 gtar_ref, *, max_disp: int, tw: int):
+    """grad_tar[k] = sum_q e(q,k)*(d-out[q])*(g/sum_sim)[q]*ref[q]
+    over q in [k, k+max_disp) (SM_kernel.cu:300-355). Query-side arrays are
+    right-padded by max_disp-1; w_ref is g/sum_sim gated by ref_mask."""
+    t = pl.program_id(1)
+    dp = max_disp - 1
+    qw = tw + dp
+    k = tar_ref[...]                          # (RB, C, TW) keys (real coords)
+    qs = ref_ref[:, :, pl.ds(t * tw, qw)]     # queries window
+    mc = mc_ref[:, pl.ds(t * tw, qw)]
+    ot = out_ref[:, pl.ds(t * tw, qw)]
+    wq = w_ref[:, pl.ds(t * tw, qw)]
+    s = jax.lax.dot_general(k, qs, (((1,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)  # (RB,TW,QW)
+    kj = jax.lax.broadcasted_iota(jnp.int32, (tw, qw), 0)
+    qi = jax.lax.broadcasted_iota(jnp.int32, (tw, qw), 1)
+    d = qi - kj                                # q_global - k_global = i - j
+    band = (d >= 0) & (d < max_disp)
+    valid = band[None] & (wq[:, None, :] != 0)
+    e = jnp.where(valid, jnp.exp(s - mc[:, None, :]), 0.0)
+    wk = e * (d.astype(jnp.float32)[None] - ot[:, None, :]) * wq[:, None, :]
+    gtar_ref[...] = jax.lax.dot_general(
+        qs, wk, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+
+
+@functools.partial(jax.jit, static_argnames=("max_disp", "tw", "rb"))
+def _spamat_backward_impl(ref, tar, ref_mask, tar_mask, out, sum_sim,
+                          max_cost, g, max_disp: int,
+                          tw: int = DEF_TW, rb: int = DEF_RB):
+    B, H, W, C = ref.shape
+    R = B * H
+    dp = max_disp - 1
+    Rp = _ceil_to(max(R, rb), rb)
+    Wp = _ceil_to(max(W, tw), tw)
+
+    refm = ref_mask != 0
+    w_map = jnp.where(refm & (sum_sim != 0),
+                      g / jnp.where(sum_sim != 0, sum_sim, 1.0), 0.0)
+
+    refr = _pad_rows(_rows(ref), Rp, Wp, 2)
+    tarr_l = _pad_rows(_rows(tar), Rp, Wp + dp, 2, left=dp)
+    tmr_l = _pad_rows(_rows(tar_mask), Rp, Wp + dp, 1, left=dp)
+    mcr = _pad_rows(_rows(max_cost), Rp, Wp, 1)
+    outr = _pad_rows(_rows(out), Rp, Wp, 1)
+    wr = _pad_rows(_rows(w_map), Rp, Wp, 1)
+
+    grid = (Rp // rb, Wp // tw)
+    row_spec = pl.BlockSpec((rb, tw), lambda r, t: (r, t),
+                            memory_space=pltpu.VMEM)
+    full_feat_l = pl.BlockSpec((rb, C, Wp + dp), lambda r, t: (r, 0, 0),
+                               memory_space=pltpu.VMEM)
+    full_row_l = pl.BlockSpec((rb, Wp + dp), lambda r, t: (r, 0),
+                              memory_space=pltpu.VMEM)
+
+    gref = pl.pallas_call(
+        functools.partial(_dref_kernel, max_disp=max_disp, tw=tw),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rb, C, tw), lambda r, t: (r, 0, t),
+                         memory_space=pltpu.VMEM),
+            full_feat_l, full_row_l, row_spec, row_spec, row_spec,
+        ],
+        out_specs=pl.BlockSpec((rb, C, tw), lambda r, t: (r, 0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Rp, C, Wp), jnp.float32),
+        interpret=_interpret(),
+    )(refr, tarr_l, tmr_l, mcr, outr, wr)
+
+    # dTar: query-side arrays right-padded by dp
+    refr_r = _pad_rows(_rows(ref), Rp, Wp + dp, 2)
+    mcr_r = _pad_rows(_rows(max_cost), Rp, Wp + dp, 1)
+    outr_r = _pad_rows(_rows(out), Rp, Wp + dp, 1)
+    wr_r = _pad_rows(_rows(w_map), Rp, Wp + dp, 1)
+    tarr = _pad_rows(_rows(tar), Rp, Wp, 2)
+
+    full_feat_r = pl.BlockSpec((rb, C, Wp + dp), lambda r, t: (r, 0, 0),
+                               memory_space=pltpu.VMEM)
+    full_row_r = pl.BlockSpec((rb, Wp + dp), lambda r, t: (r, 0),
+                              memory_space=pltpu.VMEM)
+    gtar = pl.pallas_call(
+        functools.partial(_dtar_kernel, max_disp=max_disp, tw=tw),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rb, C, tw), lambda r, t: (r, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, tw), lambda r, t: (r, t),
+                         memory_space=pltpu.VMEM),
+            full_feat_r, full_row_r, full_row_r, full_row_r,
+        ],
+        out_specs=pl.BlockSpec((rb, C, tw), lambda r, t: (r, 0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Rp, C, Wp), jnp.float32),
+        interpret=_interpret(),
+    )(tarr, _pad_rows(_rows(tar_mask), Rp, Wp, 1), refr_r, mcr_r, outr_r,
+      wr_r)
+
+    def unpack(x):
+        return x[:R].transpose(0, 2, 1)[:, :W].reshape(B, H, W, C)
+    gtar = unpack(gtar) * (tar_mask != 0)[..., None]
+    return unpack(gref).astype(ref.dtype), gtar.astype(tar.dtype)
+
+
+def spamat_backward(ref, tar, ref_mask, tar_mask, out, sum_sim, max_cost, g,
+                    max_disp: int):
+    return _spamat_backward_impl(ref, tar, ref_mask, tar_mask, out, sum_sim,
+                                 max_cost, g, max_disp)

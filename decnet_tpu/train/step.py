@@ -1,0 +1,83 @@
+"""Jitted train/eval step factories.
+
+`batch` pytree:
+  left, right      (B,H,W,3) normalised images
+  gt               (B,H,W)   disparity ground truth (0 = invalid)
+  left_masks/right_masks  lists of per-fine-stage (B,h,w) binary detail masks
+                          (loader-precomputed; used as sparse-matching input
+                          when the model runs with use_detail=False, and as
+                          supervision targets for the learned detail heads
+                          when use_detail=True).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from decnet_tpu.config import Config
+from decnet_tpu.train import loss as loss_lib
+from decnet_tpu.train.metrics import epe_and_d1
+from decnet_tpu.train.state import TrainState
+
+
+def make_train_step(model, cfg: Config, donate: bool = True):
+    mcfg, lcfg = cfg.model, cfg.loss
+
+    def loss_fn(params, batch_stats, batch):
+        variables = {"params": params, "batch_stats": batch_stats}
+        out, mutated = model.apply(
+            variables, batch["left"], batch["right"],
+            batch.get("left_masks"), batch.get("right_masks"),
+            train=True, mutable=["batch_stats"])
+        total, logs = loss_lib.multi_stage_uploss(
+            out, batch["gt"], lcfg, mcfg.num_stage, mcfg.down_scale,
+            mcfg.max_disp, mcfg.skip_stage_id)
+        if mcfg.use_detail and batch.get("left_masks") is not None:
+            mloss, mlogs = loss_lib.detail_mask_loss(
+                out, batch["left_masks"], batch["right_masks"], lcfg.weights)
+            total = total + lcfg.alpha * mloss
+            logs.update(mlogs)
+        logs["total"] = total
+        return total, (mutated["batch_stats"], logs)
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (new_stats, logs)), grads = grad_fn(state.params,
+                                                state.batch_stats, batch)
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(batch_stats=new_stats)
+        logs["grad_norm"] = jax.tree_util.tree_reduce(
+            lambda a, x: a + jnp.vdot(x, x).real, grads, 0.0) ** 0.5
+        return state, logs
+
+    return train_step
+
+
+def make_eval_step(model, cfg: Config):
+    mcfg = cfg.model
+
+    @jax.jit
+    def eval_step(state: TrainState, batch) -> Dict[str, jax.Array]:
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        out = model.apply(variables, batch["left"], batch["right"],
+                          batch.get("left_masks"), batch.get("right_masks"),
+                          train=False)
+        epe, d1 = epe_and_d1(out["preds"][-1], batch["gt"], mcfg.max_disp)
+        return {"epe": epe, "d1": d1, "pred": out["preds"][-1]}
+
+    return eval_step
+
+
+def make_infer_fn(model, cfg: Config, max_disp: Optional[int] = None):
+    """Inference-only forward returning the final disparity map."""
+    @jax.jit
+    def infer(variables, left, right):
+        out = model.apply(variables, left, right, train=False,
+                          max_disp=max_disp)
+        return out["preds"][-1]
+
+    return infer

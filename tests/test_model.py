@@ -1,0 +1,122 @@
+"""DecNet model: shape/finiteness goldens + loss/metric behaviour."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from decnet_tpu.config import ModelConfig, LossConfig
+from decnet_tpu.models import get_model
+from decnet_tpu.train import loss as loss_lib
+from decnet_tpu.train.metrics import epe_and_d1
+
+
+def tiny_cfg(**kw):
+    base = dict(max_disp=27, base_channels=4, num_stage=4, down_scale=3,
+                use_detail=False, dtype="float32", matching_impl="xla")
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def make_batch(rng, B=1, H=54, W=81, num_stage=4, scale=3):
+    left = rng.rand(B, H, W, 3).astype(np.float32)
+    right = rng.rand(B, H, W, 3).astype(np.float32)
+    lmasks, rmasks = [], []
+    for s in range(1, num_stage):
+        h, w = H // scale ** (num_stage - 1 - s), W // scale ** (num_stage - 1 - s)
+        lmasks.append((rng.rand(B, h, w) < 0.3).astype(np.float32))
+        rmasks.append((rng.rand(B, h, w) < 0.3).astype(np.float32))
+    return left, right, lmasks, rmasks
+
+
+def test_forward_shapes_and_finiteness(rng):
+    cfg = tiny_cfg()
+    model = get_model("decnet", cfg)
+    left, right, lm, rm = make_batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), left, right, lm, rm)
+    out = model.apply(variables, left, right, lm, rm)
+    assert len(out["preds"]) == 4
+    shapes = [(1, 2, 3), (1, 6, 9), (1, 18, 27), (1, 54, 81)]
+    for p, s in zip(out["preds"], shapes):
+        assert p.shape == s
+        assert np.isfinite(np.asarray(p)).all()
+    assert len(out["sparse"]) == 3 and len(out["var"]) == 3
+    for sm in out["soft_mask"]:
+        a = np.asarray(sm)
+        assert (a >= 0).all() and (a <= 1).all()
+
+
+def test_forward_use_detail(rng):
+    cfg = tiny_cfg(use_detail=True, thold=0.5)
+    model = get_model("decnet", cfg)
+    left, right, _, _ = make_batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), left, right)
+    out = model.apply(variables, left, right)
+    assert len(out["left_details"]) == 3
+    assert out["preds"][-1].shape == (1, 54, 81)
+    for m in out["masks_used"]:
+        a = np.asarray(m)
+        assert set(np.unique(a)).issubset({0.0, 1.0})
+
+
+def test_forward_skip_stage(rng):
+    cfg = tiny_cfg(skip_stage_id=2)
+    model = get_model("decnet", cfg)
+    left, right, lm, rm = make_batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), left, right, lm, rm)
+    out = model.apply(variables, left, right, lm, rm)
+    # stages >= 2 are plain upsampling: only one fine stage ran heads
+    assert len(out["sparse"]) == 1
+    assert out["preds"][-1].shape == (1, 54, 81)
+
+
+def test_uploss_and_mask_loss(rng):
+    cfg = tiny_cfg(use_detail=True, thold=0.5)
+    model = get_model("decnet", cfg)
+    left, right, lm, rm = make_batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), left, right)
+    out = model.apply(variables, left, right,
+                      rngs={}, mutable=False, train=False)
+    gt = (rng.rand(1, 54, 81) * 20).astype(np.float32)
+    lcfg = LossConfig()
+    total, logs = loss_lib.multi_stage_uploss(out, gt, lcfg, 4, 3, 27)
+    assert np.isfinite(float(total))
+    assert "stage3/pred" in logs
+    mtotal, _ = loss_lib.detail_mask_loss(out, lm, rm, lcfg.weights)
+    assert np.isfinite(float(mtotal))
+
+
+def test_uploss_matches_torch_smoothl1_semantics(rng):
+    torch = pytest.importorskip("torch")
+    pred = rng.randn(2, 6, 8).astype(np.float32) * 3
+    gt = (rng.rand(2, 6, 8) * 10).astype(np.float32)
+    valid = (gt > 0) & (gt < 8.0)
+    want = torch.nn.functional.smooth_l1_loss(
+        torch.from_numpy(pred)[torch.from_numpy(valid)],
+        torch.from_numpy(gt)[torch.from_numpy(valid)]).item()
+    got = loss_lib.masked_mean(loss_lib.smooth_l1(jnp.asarray(pred),
+                                                  jnp.asarray(gt)), valid)
+    np.testing.assert_allclose(float(got), want, rtol=1e-5)
+
+
+def test_metrics_match_reference_semantics(rng):
+    pred = (rng.rand(1, 8, 8) * 30).astype(np.float32)
+    gt = (rng.rand(1, 8, 8) * 30).astype(np.float32)
+    epe, d1 = epe_and_d1(jnp.asarray(pred), jnp.asarray(gt), 27.0)
+    valid = (gt > 0) & (gt < 27)
+    err = np.abs(pred - gt)[valid]
+    np.testing.assert_allclose(float(epe), err.mean(), rtol=1e-5)
+    ok = (err < 3) | (err < 0.05 * gt[valid])
+    np.testing.assert_allclose(float(d1), 100 - ok.sum() / valid.sum() * 100,
+                               rtol=1e-5)
+
+
+def test_train_mode_updates_batch_stats(rng):
+    cfg = tiny_cfg()
+    model = get_model("decnet", cfg)
+    left, right, lm, rm = make_batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), left, right, lm, rm)
+    out, mutated = model.apply(variables, left, right, lm, rm, train=True,
+                               mutable=["batch_stats"])
+    assert "batch_stats" in mutated
+    leaves = jax.tree_util.tree_leaves(mutated["batch_stats"])
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)

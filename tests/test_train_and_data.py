@@ -1,0 +1,171 @@
+"""Train step, datasets (synthetic fixtures), loader, checkpointing."""
+import os
+import pickle
+
+import numpy as np
+import jax
+import pytest
+
+from decnet_tpu.config import Config, ModelConfig
+
+
+def tiny_config():
+    cfg = Config()
+    cfg.model = ModelConfig(max_disp=27, base_channels=4, num_stage=4,
+                            down_scale=3, use_detail=True, thold=0.5,
+                            dtype="float32", matching_impl="xla")
+    cfg.train.batch_size = 2
+    cfg.train.total_steps = 10
+    return cfg
+
+
+def make_batch(rng, B=2, H=54, W=54):
+    mk = lambda h, w: (rng.rand(B, h, w) < 0.4).astype(np.float32)
+    return {
+        "left": rng.rand(B, H, W, 3).astype(np.float32),
+        "right": rng.rand(B, H, W, 3).astype(np.float32),
+        "gt": (rng.rand(B, H, W) * 20).astype(np.float32),
+        "left_masks": [mk(H // 9, W // 9), mk(H // 3, W // 3), mk(H, W)],
+        "right_masks": [mk(H // 9, W // 9), mk(H // 3, W // 3), mk(H, W)],
+    }
+
+
+def test_train_step_decreases_loss(rng):
+    from decnet_tpu.models import get_model
+    from decnet_tpu.train.state import create_train_state
+    from decnet_tpu.train.step import make_train_step
+
+    cfg = tiny_config()
+    cfg.train.lr = 1e-3
+    cfg.train.warmup_steps = 1
+    model = get_model("decnet", cfg.model)
+    batch = make_batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), batch["left"],
+                           batch["right"])
+    state = create_train_state(model, variables, cfg.train)
+    step = make_train_step(model, cfg, donate=False)
+    losses = []
+    for _ in range(8):
+        state, logs = step(state, batch)
+        losses.append(float(logs["total"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    from decnet_tpu.models import get_model
+    from decnet_tpu.train.state import create_train_state
+    from decnet_tpu.train.checkpoint import CheckpointManager
+
+    cfg = tiny_config()
+    model = get_model("decnet", cfg.model)
+    batch = make_batch(rng, B=1)
+    variables = model.init(jax.random.PRNGKey(0), batch["left"],
+                           batch["right"])
+    state = create_train_state(model, variables, cfg.train)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), keep=2)
+    mgr.save(3, state)
+    state2 = create_train_state(model, variables, cfg.train)
+    state2 = mgr.restore(state2)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(state2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def _write_sceneflow_fixture(root, n=3, h=54, w=81, with_masks=False):
+    os.makedirs(os.path.join(root, "train"), exist_ok=True)
+    rng = np.random.RandomState(7)
+    for i in range(n):
+        pack = np.concatenate([
+            rng.randint(0, 255, (h, w, 6)).astype(np.float32),
+            (rng.rand(h, w, 1) * 30).astype(np.float32)], axis=-1)
+        np.save(os.path.join(root, "train", f"{i:04d}.npy"), pack)
+    if with_masks:
+        mdir = os.path.join(root, "train_mask")
+        os.makedirs(mdir, exist_ok=True)
+        for i in range(n):
+            masks = []
+            for side in range(2):
+                for lvl in range(3):
+                    s = 3 ** lvl
+                    masks.append((rng.rand(h // s, w // s) < 0.3
+                                  ).astype(np.float32))
+            with open(os.path.join(mdir, f"{i:04d}"), "wb") as f:
+                pickle.dump(masks, f)
+
+
+def test_sceneflow_dataset_computed_masks(tmp_path):
+    from decnet_tpu.data.datasets import get_dataset
+    _write_sceneflow_fixture(str(tmp_path))
+    ds = get_dataset("sceneflow", str(tmp_path), split="train",
+                     is_training=False)
+    s = ds[0]
+    assert s["left"].shape == (54, 81, 3)
+    assert s["gt"].shape == (54, 81)
+    assert [m.shape for m in s["left_masks"]] == [(6, 9), (18, 27), (54, 81)]
+    assert s["n_disp"] == 192
+
+
+def test_sceneflow_dataset_precomputed_masks_and_crop(tmp_path):
+    from decnet_tpu.data.datasets import get_dataset
+    _write_sceneflow_fixture(str(tmp_path), h=81, w=108, with_masks=True)
+    ds = get_dataset("sceneflow", str(tmp_path), split="train",
+                     is_training=True, img_size=(54, 81),
+                     mask_source="precomputed")
+    s = ds[0]
+    assert s["left"].shape == (54, 81, 3)
+    assert [m.shape for m in s["left_masks"]] == [(6, 9), (18, 27), (54, 81)]
+    # crops must keep masks binary
+    for m in s["left_masks"]:
+        assert set(np.unique(m)).issubset({0.0, 1.0})
+
+
+def test_middlebury_dataset(tmp_path):
+    from decnet_tpu.data.datasets import get_dataset
+    os.makedirs(tmp_path / "eval_F")
+    rng = np.random.RandomState(3)
+    d = {"ndisp": 70, "im0": rng.randint(0, 255, (60, 90, 3)).astype(np.float32),
+         "im1": rng.randint(0, 255, (60, 90, 3)).astype(np.float32),
+         "disparity": (rng.rand(60, 90) * 60).astype(np.float32),
+         "disparity_right": (rng.rand(60, 90) * 60).astype(np.float32)}
+    with open(tmp_path / "eval_F" / "scene1.pkl", "wb") as f:
+        pickle.dump(d, f)
+    ds = get_dataset("middlebury", str(tmp_path), split="eval_F")
+    s = ds[0]
+    assert s["n_disp"] == 70
+    assert s["left"].shape == (81, 108, 3)  # padded to x27
+    assert s["ori_h"] == 60 and s["ori_w"] == 90
+
+
+def test_loader_batching_and_order(tmp_path):
+    from decnet_tpu.data.datasets import get_dataset
+    from decnet_tpu.data.loader import DataLoader
+    _write_sceneflow_fixture(str(tmp_path), n=5)
+    ds = get_dataset("sceneflow", str(tmp_path), split="train",
+                     is_training=False)
+    loader = DataLoader(ds, batch_size=2, num_workers=3)
+    batches = list(loader)
+    assert len(batches) == 3
+    assert batches[0]["left"].shape == (2, 54, 81, 3)
+    assert batches[0]["left_masks"][0].shape == (2, 6, 9)
+    assert batches[-1]["left"].shape[0] == 1
+    # deterministic order without shuffle
+    assert batches[0]["name"] == ["0000", "0001"]
+
+
+def test_augmentations(rng):
+    from decnet_tpu.data import augment
+    left = rng.rand(54, 81, 3).astype(np.float32) * 255
+    right = rng.rand(54, 81, 3).astype(np.float32) * 255
+    r = np.random.RandomState(0)
+    l2, r2 = augment.add_parallax_glare(left, right, r)
+    assert l2.shape == left.shape and (l2 >= left - 1e-3).all()
+    r3 = augment.random_occlusion_patch(right, r, 10, 20)
+    assert (r3 != right).any()
+    l4, r4 = augment.random_photometric(left, right, r)
+    assert l4.shape == left.shape
+    gl = (rng.rand(54, 81) * 20).astype(np.float32)
+    gr = (rng.rand(54, 81) * 20).astype(np.float32)
+    nl, nr, ng = augment.horizontal_flip_stereo(left, right, gl, gr)
+    np.testing.assert_array_equal(nl, right[:, ::-1])
+    np.testing.assert_array_equal(ng, gr[:, ::-1])
