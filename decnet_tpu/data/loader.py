@@ -60,19 +60,19 @@ class DataLoader:
         stop = threading.Event()
         task_q: "queue.Queue" = queue.Queue()
         for bi, batch in enumerate(batches):
-            for idx in batch:
-                task_q.put((bi, int(idx)))
+            for pos, idx in enumerate(batch):
+                task_q.put((bi, pos, int(idx)))
 
         def worker():
             while not stop.is_set():
                 try:
-                    bi, idx = task_q.get_nowait()
+                    bi, pos, idx = task_q.get_nowait()
                 except queue.Empty:
                     return
                 try:
-                    sample_q.put((bi, self.dataset[idx]))
+                    sample_q.put((bi, pos, self.dataset[idx]))
                 except Exception as e:  # surface loader errors to consumer
-                    sample_q.put((bi, e))
+                    sample_q.put((bi, pos, e))
 
         threads = [threading.Thread(target=worker, daemon=True)
                    for _ in range(self.num_workers)]
@@ -80,18 +80,21 @@ class DataLoader:
             t.start()
 
         try:
-            pending: Dict[int, List] = {}
+            pending: Dict[int, Dict[int, Dict]] = {}
             emitted = 0
             next_bi = 0
             expect = {bi: len(b) for bi, b in enumerate(batches)}
             while emitted < len(batches):
-                bi, item = sample_q.get()
+                bi, pos, item = sample_q.get()
                 if isinstance(item, Exception):
                     raise item
-                pending.setdefault(bi, []).append(item)
+                pending.setdefault(bi, {})[pos] = item
                 while next_bi in pending and \
                         len(pending[next_bi]) == expect[next_bi]:
-                    yield collate(pending.pop(next_bi))
+                    ordered = [pending[next_bi][p]
+                               for p in range(expect[next_bi])]
+                    pending.pop(next_bi)
+                    yield collate(ordered)
                     emitted += 1
                     next_bi += 1
         finally:

@@ -30,7 +30,7 @@ from decnet_tpu.nn.heads import (CostRegNet, DynamicUpsampling, SoftAttention,
                                  Refinement, DetailHead)
 from decnet_tpu.ops.cost_volume import build_cost_volume
 from decnet_tpu.ops.regression import uniform_disp_samples, disparity_regression
-from decnet_tpu.ops.matching import sparse_matching, sparse_var
+from decnet_tpu.ops.matching import sparse_matching_with_var
 from decnet_tpu.ops.resize import interpolate
 
 
@@ -114,14 +114,14 @@ class DecNet(nn.Module):
                 cur, lf, train=train)
             out["dense"].append(dense)
 
-            sparse = sparse_matching(lf, rf, lmask, rmask, cur_max_disp,
-                                     cfg.matching_impl)
+            # one banded-softmax pass yields both the sparse disparity and its
+            # variance (SpaMat + SpaVar fused; variance under stop_gradient
+            # as in the reference's no_grad block)
+            sparse, var = sparse_matching_with_var(lf, rf, lmask, rmask,
+                                                   cur_max_disp,
+                                                   cfg.matching_impl)
+            var = jax.lax.stop_gradient(var)
             out["sparse"].append(sparse)
-
-            var = jax.lax.stop_gradient(
-                sparse_var(lf, rf, lmask, rmask,
-                           jax.lax.stop_gradient(sparse), cur_max_disp,
-                           cfg.matching_impl))
             out["var"].append(var)
 
             att_in = jnp.concatenate([

@@ -251,3 +251,69 @@ def _spavar_vjp_bwd(max_disp, impl, res, g):
 
 
 sparse_var.defvjp(_spavar_vjp_fwd, _spavar_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused matching + variance — one banded-softmax pass for both
+# ---------------------------------------------------------------------------
+
+def _fused_moments(ref, tar, ref_mask, tar_mask, max_disp, impl):
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from decnet_tpu.ops.pallas import spamat as _k
+        return _k.moments(ref, tar, ref_mask, tar_mask, max_disp)
+    return matching_moments(ref, tar, ref_mask, tar_mask, max_disp)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def sparse_matching_with_var(ref, tar, ref_mask, tar_mask, max_disp: int,
+                             impl: str = "auto"):
+    """(expected disparity, variance) from ONE banded-softmax pass.
+
+    The model always evaluates SpaVar at disparity == the SpaMat output under
+    stop_gradient (SparseDenseNetRefinementMask.py:183-192); by the moment
+    identity sum e*(d-out)^2 = sed2 - 2*out*sed + out^2*se this equals the
+    two-kernel reference result exactly while halving the matching work.
+    Gradients flow to ref/tar through the expected disparity only (the
+    variance is treated as stop_gradient, matching the reference's no_grad).
+    """
+    out, var, _, _, _ = _fused_forward(ref, tar, ref_mask, tar_mask,
+                                       max_disp, impl)
+    return out, var
+
+
+def _fused_forward(ref, tar, ref_mask, tar_mask, max_disp, impl):
+    m, se, sed, sed2 = _fused_moments(ref, tar, ref_mask, tar_mask,
+                                      max_disp, impl)
+    refm = ref_mask != 0
+    out = jnp.where(refm, (EPS + sed) / (EPS + se), 0.0)
+    svar = sed2 - 2.0 * out * sed + out * out * se
+    var = jnp.where(refm, (EPS + svar) / (EPS + se), 0.0)
+    sum_sim = jnp.where(refm, EPS + se, 0.0)
+    max_cost = jnp.where(refm, m, 0.0)
+    return out, var, sum_sim, max_cost, refm
+
+
+def _fused_vjp_fwd(ref, tar, ref_mask, tar_mask, max_disp, impl):
+    out, var, sum_sim, max_cost, _ = _fused_forward(
+        ref, tar, ref_mask, tar_mask, max_disp, impl)
+    return (out, var), (ref, tar, ref_mask, tar_mask, out, sum_sim, max_cost)
+
+
+def _fused_vjp_bwd(max_disp, impl, res, gs):
+    g_out, _ = gs  # variance is stop_gradient by contract
+    ref, tar, ref_mask, tar_mask, out, sum_sim, max_cost = res
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from decnet_tpu.ops.pallas import spamat as _k
+        gref, gtar = _k.spamat_backward(ref, tar, ref_mask, tar_mask, out,
+                                        sum_sim, max_cost, g_out, max_disp)
+    else:
+        gref, gtar = _spamat_bwd_xla(ref, tar, ref_mask, tar_mask, out,
+                                     sum_sim, max_cost, g_out, max_disp)
+    return gref, gtar, jnp.zeros_like(ref_mask), jnp.zeros_like(tar_mask)
+
+
+sparse_matching_with_var.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)

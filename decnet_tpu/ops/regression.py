@@ -46,7 +46,7 @@ def adaptive_disp_samples(disparity: jax.Array, max_disp: int, step: float,
     upper = pool(disparity, jnp.max)
     lower = -pool(-disparity, jnp.max)
     lower = jnp.abs(lower)
-    modified = jnp.clip(samp_num * step - (upper - lower), a_min=0) / 2
+    modified = jnp.clip(samp_num * step - (upper - lower), min=0) / 2
     lower = jnp.clip(lower - modified, 0, max_disp)
     upper = jnp.clip(upper + modified, 0, max_disp)
     new_step = (upper - lower) / (samp_num - 1)

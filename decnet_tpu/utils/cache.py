@@ -20,3 +20,11 @@ def enable_compilation_cache(path: str | None = None):
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+    # The TPU harness import hook sets jax_platforms to "axon,cpu", but the
+    # "axon" platform name flakily fails to register ("not in the list of
+    # known backends"); let JAX auto-choose instead.
+    try:
+        if "axon" in (jax.config.jax_platforms or ""):
+            jax.config.update("jax_platforms", None)
+    except Exception:
+        pass

@@ -102,3 +102,25 @@ def test_spamat_bf16_inputs(rng):
                                      tar.astype(jnp.bfloat16), rm, tm, 8, "xla")
     np.testing.assert_allclose(np.asarray(out16), np.asarray(out32),
                                rtol=0.1, atol=0.15)
+
+
+def test_fused_matching_with_var_matches_separate(rng):
+    from decnet_tpu.ops.matching import (sparse_matching, sparse_var,
+                                         sparse_matching_with_var)
+    ref, tar, rm, tm = make_inputs(rng, B=1, H=4, W=30, C=5)
+    max_disp = 12
+    out_sep = sparse_matching(ref, tar, rm, tm, max_disp, "xla")
+    var_sep = sparse_var(ref, tar, rm, tm, out_sep, max_disp, "xla")
+    out_f, var_f = sparse_matching_with_var(ref, tar, rm, tm, max_disp, "xla")
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_sep),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var_f), np.asarray(var_sep),
+                               rtol=1e-4, atol=1e-5)
+    # gradients flow through the matching output like the unfused op
+    f1 = lambda r: sparse_matching(r, tar, rm, tm, max_disp, "xla").sum()
+    f2 = lambda r: sparse_matching_with_var(r, tar, rm, tm, max_disp,
+                                            "xla")[0].sum()
+    g1 = jax.grad(f1)(ref)
+    g2 = jax.grad(f2)(ref)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-5,
+                               atol=1e-6)

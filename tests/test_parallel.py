@@ -1,0 +1,150 @@
+"""Sharded == unsharded equivalence on the virtual 8-device CPU mesh.
+
+The parallelism contract (SURVEY §2.4): data-parallel batches, H-tile
+sharding with compiler-derived halos, disparity-axis sharding with psum-merged
+softmax, and sync-BN-by-construction must all produce the same numbers as a
+single-device run.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from decnet_tpu.config import Config, ModelConfig, MeshConfig
+from decnet_tpu.models import get_model
+from decnet_tpu.parallel import mesh as mesh_lib
+
+
+def need_devices(n):
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} devices, have {len(jax.devices())}")
+
+
+def tiny_model():
+    cfg = ModelConfig(max_disp=27, base_channels=4, num_stage=4, down_scale=3,
+                      use_detail=False, dtype="float32", matching_impl="xla")
+    return get_model("decnet", cfg)
+
+
+def make_batch(rng, B=4, H=54, W=54):
+    mk = lambda h, w: (rng.rand(B, h, w) < 0.4).astype(np.float32)
+    return (rng.rand(B, H, W, 3).astype(np.float32),
+            rng.rand(B, H, W, 3).astype(np.float32),
+            [mk(H // 9, W // 9), mk(H // 3, W // 3), mk(H, W)],
+            [mk(H // 9, W // 9), mk(H // 3, W // 3), mk(H, W)])
+
+
+def _forward(model, variables, left, right, lm, rm, train=False):
+    if train:
+        return model.apply(variables, left, right, lm, rm, train=True,
+                           mutable=["batch_stats"])
+    return model.apply(variables, left, right, lm, rm)
+
+
+@pytest.mark.parametrize("axes", [("data", 4), ("tile", 2)])
+def test_forward_sharded_equals_unsharded(rng, axes):
+    axis, size = axes
+    need_devices(size)
+    model = tiny_model()
+    left, right, lm, rm = make_batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), left, right, lm, rm)
+
+    f = jax.jit(lambda v, l, r, a, b: model.apply(v, l, r, a, b)["preds"])
+    want = f(variables, left, right, lm, rm)
+
+    mesh = Mesh(np.asarray(jax.devices()[:size]).reshape(
+        (size, 1) if axis == "data" else (1, size)), ("data", "tile"))
+
+    def shard(x):
+        spec = [None] * x.ndim
+        spec[0] = "data"
+        if x.ndim >= 3:
+            spec[1] = "tile"
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+    rep = NamedSharding(mesh, P())
+    got = f(jax.device_put(variables, rep), shard(jnp.asarray(left)),
+            shard(jnp.asarray(right)),
+            [shard(jnp.asarray(m)) for m in lm],
+            [shard(jnp.asarray(m)) for m in rm])
+    for a, b in zip(want, got):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-4,
+                                   atol=2e-4)
+
+
+def test_sync_bn_stats_match_global_batch(rng):
+    """Batch stats computed on a data-sharded batch must equal the global
+    single-device stats (the reference needed 743 LoC of SyncBN for this)."""
+    need_devices(4)
+    model = tiny_model()
+    left, right, lm, rm = make_batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), left, right, lm, rm)
+
+    f = jax.jit(lambda v, l, r, a, b: model.apply(
+        v, l, r, a, b, train=True, mutable=["batch_stats"])[1])
+    want = f(variables, left, right, lm, rm)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4, 1), ("data", "tile"))
+    rep = NamedSharding(mesh, P())
+
+    def shard(x):
+        spec = [None] * np.ndim(x)
+        spec[0] = "data"
+        return jax.device_put(jnp.asarray(x), NamedSharding(mesh, P(*spec)))
+
+    got = f(jax.device_put(variables, rep), shard(left), shard(right),
+            [shard(m) for m in lm], [shard(m) for m in rm])
+    flat_w = jax.tree_util.tree_leaves(want)
+    flat_g = jax.tree_util.tree_leaves(got)
+    for a, b in zip(flat_w, flat_g):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-4,
+                                   atol=2e-4)
+
+
+def test_disp_sharded_softargmin(rng):
+    """Soft-argmin over an S-sharded cost volume == unsharded (the psum-merged
+    partial-softmax decomposition, SURVEY §2.4(3))."""
+    need_devices(4)
+    from decnet_tpu.ops.regression import disparity_regression
+    cost = rng.randn(2, 8, 6, 12).astype(np.float32)
+    samples = np.broadcast_to(np.arange(8, dtype=np.float32)[None, :, None,
+                                                             None],
+                              cost.shape).copy()
+    want = disparity_regression(cost, samples)
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("disp",))
+    sh = NamedSharding(mesh, P(None, "disp"))
+    f = jax.jit(disparity_regression)
+    got = f(jax.device_put(cost, sh), jax.device_put(samples, sh))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+def test_matching_row_sharded(rng):
+    """Sparse matching sharded over (B,H) rows == single device (rows are
+    independent; no communication needed)."""
+    need_devices(4)
+    from decnet_tpu.ops.matching import sparse_matching
+    ref = rng.randn(2, 8, 40, 6).astype(np.float32)
+    tar = rng.randn(2, 8, 40, 6).astype(np.float32)
+    rm = (rng.rand(2, 8, 40) < 0.5).astype(np.float32)
+    tm = (rng.rand(2, 8, 40) < 0.5).astype(np.float32)
+    f = jax.jit(lambda *a: sparse_matching(*a, 12, "xla"))
+    want = f(ref, tar, rm, tm)
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2), ("data", "tile"))
+
+    def shard(x, spec):
+        return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+
+    got = f(shard(ref, P("data", "tile")), shard(tar, P("data", "tile")),
+            shard(rm, P("data", "tile")), shard(tm, P("data", "tile")))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_make_mesh_shapes():
+    need_devices(8)
+    m = mesh_lib.make_mesh(MeshConfig(data=-1, tile=2, disp=2))
+    assert dict(zip(m.axis_names, m.devices.shape)) == \
+        {"data": 2, "tile": 2, "disp": 2}
+    m2 = mesh_lib.make_mesh(MeshConfig(data=8))
+    assert m2.devices.shape == (8, 1, 1)

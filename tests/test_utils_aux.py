@@ -1,0 +1,84 @@
+"""Auxiliary subsystems: occlusion, viz, profiling, wavelet masks, config."""
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+
+def test_occlusion_matches_reference_loop(rng):
+    from decnet_tpu.ops.occlusion import occlusion_mask
+    disp = (rng.rand(2, 4, 30) * 10).astype(np.float32)
+    # reference loop (utils/utils.py:195-205)
+    B, H, W = disp.shape
+    xs = np.arange(W)[None, None, :]
+    shift = xs - disp
+    min_shift = np.zeros_like(shift)
+    min_col = np.ones((B, H)) * W
+    for col in range(W - 1, -1, -1):
+        min_col = np.where(min_col > shift[..., col], shift[..., col], min_col)
+        min_shift[..., col] = min_col
+    want = (shift > min_shift) | (shift <= 0)
+    got = np.asarray(occlusion_mask(jnp.asarray(disp)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_wavelet_masks_shapes(rng):
+    from decnet_tpu.ops.detail import wavelet_detail_masks
+    img = rng.rand(1, 64, 96, 3).astype(np.float32)
+    ms = wavelet_detail_masks(img, levels=3, percentile=85.0)
+    assert [m.shape for m in ms] == [(1, 8, 12), (1, 16, 24), (1, 32, 48)]
+    for m in ms:
+        d = float(np.asarray(m).mean())
+        assert 0.05 < d < 0.35  # ~15% above the 85th percentile
+
+
+def test_show_imgs_saves_file(tmp_path, rng):
+    from decnet_tpu.utils.viz import show_imgs, save_disparity_png, error_map
+    disp = rng.rand(20, 30).astype(np.float32) * 50
+    img = rng.rand(20, 30, 3).astype(np.float32)
+    p = show_imgs([(disp, "disp"), (img, "left"),
+                   (error_map(disp, disp + 1, 60), "err", "coolwarm")],
+                  save_path=str(tmp_path / "grid.png"))
+    assert os.path.exists(p)
+    save_disparity_png(str(tmp_path / "d.png"), disp)
+    assert os.path.exists(tmp_path / "d.png")
+
+
+def test_timer_reports(rng):
+    from decnet_tpu.utils.profiling import Timer
+    t = Timer()
+    x = jnp.ones((8, 8))
+    for _ in range(3):
+        t.timed("matmul", lambda: x @ x)
+    s = t.summary()
+    assert "matmul" in s and s["matmul"] >= 0
+    assert "matmul" in t.report()
+
+
+def test_config_roundtrip_and_overrides(tmp_path):
+    from decnet_tpu.config import Config
+    cfg = Config()
+    p = str(tmp_path / "cfg.json")
+    cfg.save(p)
+    cfg2 = Config.load(p)
+    assert cfg2.model.max_disp == cfg.model.max_disp
+    cfg3 = cfg2.apply_overrides(["model.max_disp=189", "train.lr=0.01",
+                                 "model.use_detail=false"])
+    assert cfg3.model.max_disp == 189
+    assert cfg3.train.lr == 0.01
+    assert cfg3.model.use_detail is False
+    with pytest.raises(KeyError):
+        cfg2.apply_overrides(["model.nonexistent=1"])
+
+
+def test_adaptive_disp_samples_properties(rng):
+    from decnet_tpu.ops.regression import adaptive_disp_samples
+    disp = (rng.rand(1, 9, 9) * 20).astype(np.float32)
+    s = np.asarray(adaptive_disp_samples(jnp.asarray(disp), 24, 1.0, 8, 3))
+    assert s.shape == (1, 8, 9, 9)
+    assert (np.diff(s, axis=1) >= -1e-5).all()      # monotone samples
+    assert s.min() >= 0 and s.max() <= 24
+    # range covers at least samp_num*step (padded) unless clamped at borders
+    rng_width = s[:, -1] - s[:, 0]
+    assert (rng_width >= 0).all()
