@@ -25,10 +25,14 @@ REFERENCE_PAIRS_PER_SEC_ESTIMATE = 20.0
 
 
 def main():
-    from decnet_tpu.utils.cache import enable_compilation_cache
+    from decnet_tpu.utils.cache import enable_compilation_cache, ensure_tpu
     enable_compilation_cache()
     import jax
     import jax.numpy as jnp
+    try:
+        ensure_tpu()
+    except RuntimeError:
+        pass  # CPU smoke mode below
     from decnet_tpu.config import ModelConfig
     from decnet_tpu.models import get_model
 
@@ -49,25 +53,34 @@ def main():
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 54, 54, 3)), jnp.zeros((1, 54, 54, 3)))
 
+    # Chained timing: each iteration's input depends on the previous output,
+    # so async dispatch / result caching cannot elide real device work (the
+    # harness's remote runtime has shown both failure modes).
     @jax.jit
-    def forward(variables, left, right):
-        return model.apply(variables, left, right, train=False)["preds"][-1]
+    def forward(variables, left, right, carry):
+        pred = model.apply(variables, left + carry * 1e-12, right,
+                           train=False)["preds"][-1]
+        return pred, pred.mean()
 
-    # warmup + compile
-    forward(variables, left, right).block_until_ready()
+    carry = jnp.float32(0)
+    out, carry = forward(variables, left, right, carry)
+    jax.block_until_ready((out, carry))
 
-    iters = 10 if on_tpu else 2
+    iters = 20 if on_tpu else 2
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = forward(variables, left, right)
-    out.block_until_ready()
+        out, carry = forward(variables, left, right, carry)
+    jax.block_until_ready(carry)
+    final = float(carry)  # force a real device->host readback
     dt = time.perf_counter() - t0
     pairs_per_sec = batch * iters / dt
+    assert np.isfinite(final)
 
     print(json.dumps({
         "metric": "pairs_per_sec",
         "value": round(pairs_per_sec, 3),
-        "unit": "stereo pairs/s (540x972, max_disp 216, bf16, 1 chip)",
+        "unit": f"stereo pairs/s (540x972, max_disp 216, bf16, 1 chip, "
+                f"backend={backend})",
         "vs_baseline": round(pairs_per_sec / REFERENCE_PAIRS_PER_SEC_ESTIMATE,
                              3),
     }))

@@ -19,7 +19,7 @@ from decnet_tpu.utils.cache import enable_compilation_cache
 from decnet_tpu.cli.common import add_config_args, build_config, \
     init_model_and_state
 from decnet_tpu.data import io as dio
-from decnet_tpu.data.datasets import get_dataset
+from decnet_tpu.data import get_dataset
 from decnet_tpu.data.loader import DataLoader
 
 
@@ -67,6 +67,7 @@ def main(argv=None):
 
     epes, d1s, times = [], [], []
     os.makedirs(args.save2where, exist_ok=True)
+    err_dir = os.path.join(args.save2where, "Errors")
     for bi, batch in enumerate(loader):
         # Middlebury: per-scene ndisp drives max_disp (eval.py:174-175),
         # bucketed to x27 so compiles are reused.
@@ -75,10 +76,23 @@ def main(argv=None):
         nd = int(np.ceil(nd / 27) * 27)
         fwd = forward_for(nd)
         t0 = time.perf_counter()
-        pred = fwd(variables, batch["left"], batch["right"],
-                   tuple(batch["left_masks"]) if False else batch["left_masks"],
-                   batch["right_masks"])
-        pred = np.asarray(jax.block_until_ready(pred))
+        try:
+            pred = fwd(variables, batch["left"], batch["right"],
+                       batch["left_masks"], batch["right_masks"])
+            pred = np.asarray(jax.block_until_ready(pred))
+        except Exception:
+            # failure capture (reference eval.py:216-223): dump the offending
+            # batch for offline repro, then re-raise
+            os.makedirs(err_dir, exist_ok=True)
+            np.savez(os.path.join(err_dir, f"batch{bi}.npz"),
+                     left=batch["left"], right=batch["right"],
+                     gt=batch["gt"],
+                     **{f"lmask{i}": m for i, m in
+                        enumerate(batch["left_masks"])},
+                     **{f"rmask{i}": m for i, m in
+                        enumerate(batch["right_masks"])})
+            print(f"batch {bi} failed; inputs dumped to {err_dir}")
+            raise
         times.append(time.perf_counter() - t0)
 
         if args.is_eval:

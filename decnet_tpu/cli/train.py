@@ -50,7 +50,7 @@ def main(argv=None):
     if args.steps:
         cfg.train.total_steps = args.steps
 
-    from decnet_tpu.data.datasets import get_dataset
+    from decnet_tpu.data import get_dataset
     from decnet_tpu.data.loader import DataLoader
     from decnet_tpu.parallel.mesh import make_mesh, shard_batch, replicated
     from decnet_tpu.train.checkpoint import CheckpointManager

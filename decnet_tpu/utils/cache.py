@@ -20,11 +20,32 @@ def enable_compilation_cache(path: str | None = None):
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
-    # The TPU harness import hook sets jax_platforms to "axon,cpu", but the
-    # "axon" platform name flakily fails to register ("not in the list of
-    # known backends"); let JAX auto-choose instead.
-    try:
-        if "axon" in (jax.config.jax_platforms or ""):
-            jax.config.update("jax_platforms", None)
-    except Exception:
-        pass
+
+
+def ensure_tpu(retries: int = 5, wait_s: float = 20.0) -> str:
+    """Make sure the TPU backend is usable and return its name.
+
+    The axon harness provides the (remote) TPU; it is single-tenant and its
+    registration flakes when another process holds the chip ("Backend 'axon'
+    is not in the list of known backends" / "No jellyfish device found").
+    Retry with backend-cache clearing until the chip frees up.  Raises if no
+    TPU backend comes up (so benchmarks never silently run on CPU)."""
+    import time
+    import jax
+    last = None
+    for attempt in range(retries):
+        try:
+            if jax.default_backend() == "tpu":
+                return "tpu"
+            raise RuntimeError(f"default backend {jax.default_backend()!r}")
+        except RuntimeError as e:
+            last = e
+            try:
+                from jax._src import xla_bridge as xb
+                xb._clear_backends()
+            except Exception:
+                pass
+            if attempt < retries - 1:
+                time.sleep(wait_s)
+    raise RuntimeError(f"TPU backend unavailable after {retries} tries: "
+                       f"{last}")

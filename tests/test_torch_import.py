@@ -1,0 +1,151 @@
+"""Torch checkpoint import: numerical validation of layout conversions and of
+the full name map against torch modules replicating the reference blocks."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn
+
+from decnet_tpu.train import torch_import as ti
+
+
+def test_conv2d_unit_forward_parity(rng):
+    """torch Conv2d+BN(eval)+ReLU == flax ConvUnit with converted weights."""
+    from decnet_tpu.nn.layers import ConvUnit
+    tmod = tnn.Sequential(tnn.Conv2d(5, 7, 3, stride=1, padding=1, bias=False),
+                          tnn.BatchNorm2d(7), tnn.ReLU())
+    tmod.eval()
+    with torch.no_grad():
+        tmod[1].running_mean.normal_(0, 1)
+        tmod[1].running_var.uniform_(0.5, 2.0)
+        tmod[1].weight.normal_(1, 0.2)
+        tmod[1].bias.normal_(0, 0.2)
+
+    x = rng.randn(2, 9, 11, 5).astype(np.float32)
+    with torch.no_grad():
+        want = tmod(torch.from_numpy(x).permute(0, 3, 1, 2)) \
+            .permute(0, 2, 3, 1).numpy()
+
+    unit = ConvUnit(7, 3, padding=1)
+    variables = unit.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    variables = jax.tree_util.tree_map(np.asarray, variables)
+    variables["params"]["Conv_0"]["kernel"] = ti.conv2d_kernel(
+        tmod[0].weight.detach().numpy())
+    variables["params"]["BatchNorm_0"]["scale"] = tmod[1].weight.detach().numpy()
+    variables["params"]["BatchNorm_0"]["bias"] = tmod[1].bias.detach().numpy()
+    variables["batch_stats"]["BatchNorm_0"]["mean"] = \
+        tmod[1].running_mean.numpy()
+    variables["batch_stats"]["BatchNorm_0"]["var"] = \
+        tmod[1].running_var.numpy()
+    got = np.asarray(unit.apply(variables, x))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_deconv_unit_forward_parity(rng):
+    """torch ConvTranspose2d(k3,s3) == flax DeconvUnit with converted kernel."""
+    from decnet_tpu.nn.layers import DeconvUnit
+    tconv = tnn.ConvTranspose2d(4, 6, 3, stride=3, bias=True)
+    x = rng.randn(1, 5, 7, 4).astype(np.float32)
+    with torch.no_grad():
+        want = tconv(torch.from_numpy(x).permute(0, 3, 1, 2)) \
+            .permute(0, 2, 3, 1).numpy()
+
+    unit = DeconvUnit(6, 3, 3, bn=False, relu=False)
+    variables = unit.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    variables = jax.tree_util.tree_map(np.asarray, variables)
+    variables["params"]["ConvTranspose_0"]["kernel"] = \
+        ti.conv_transpose2d_kernel(tconv.weight.detach().numpy())
+    variables["params"]["ConvTranspose_0"]["bias"] = \
+        tconv.bias.detach().numpy()
+    got = np.asarray(unit.apply(variables, x))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_conv3d_kernel_parity(rng):
+    """torch Conv3d == lax 3D conv with converted kernel (NDHWC)."""
+    tconv = tnn.Conv3d(3, 5, 3, padding=1, bias=False)
+    x = rng.randn(1, 4, 6, 7, 3).astype(np.float32)
+    with torch.no_grad():
+        want = tconv(torch.from_numpy(x).permute(0, 4, 1, 2, 3)) \
+            .permute(0, 2, 3, 4, 1).numpy()
+    k = ti.conv3d_kernel(tconv.weight.detach().numpy())
+    got = jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(k), (1, 1, 1), [(1, 1)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_full_name_map_covers_model():
+    """Every (torch_name -> flax path) target must exist in the real variable
+    tree, and cover all conv/BN leaves of the model."""
+    from decnet_tpu.config import ModelConfig
+    from decnet_tpu.models import get_model
+    cfg = ModelConfig(max_disp=27, base_channels=4, num_stage=4, down_scale=3,
+                      use_detail=True, dtype="float32", matching_impl="xla")
+    model = get_model("decnet", cfg)
+    x = jnp.zeros((1, 54, 54, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, x)
+
+    flat = {}
+    for coll in ("params", "batch_stats"):
+        for path, v in jax.tree_util.tree_flatten_with_path(
+                variables[coll])[0]:
+            flat[(coll,) + tuple(p.key for p in path)] = v
+
+    targets = set()
+    for tname, fpath, conv, coll in ti.build_name_map(4):
+        key = (coll,) + tuple(fpath)
+        targets.add(key)
+    # Bias entries may not exist (conv has no bias when BN present) and
+    # conv_pre only exists for cost_func=cat; every OTHER flax leaf must be a
+    # mapped target.
+    missing_in_map = [k for k in flat if k not in targets]
+    assert not missing_in_map, f"unmapped flax leaves: {missing_in_map[:8]}"
+
+
+def test_convert_synthetic_state_dict(rng):
+    """Round-trip: build a synthetic torch state_dict shaped like the
+    reference model and import it; all copied tensors must land."""
+    from decnet_tpu.config import ModelConfig
+    from decnet_tpu.models import get_model
+    cfg = ModelConfig(max_disp=27, base_channels=4, num_stage=4, down_scale=3,
+                      use_detail=True, dtype="float32", matching_impl="xla")
+    model = get_model("decnet", cfg)
+    x = jnp.zeros((1, 54, 54, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, x)
+
+    flat = {}
+    for coll in ("params", "batch_stats"):
+        for path, v in jax.tree_util.tree_flatten_with_path(
+                variables[coll])[0]:
+            flat[(coll,) + tuple(p.key for p in path)] = np.asarray(v)
+
+    inv = {"params": {}, "batch_stats": {}}
+    state = {}
+    for tname, fpath, conv, coll in ti.build_name_map(4):
+        key = (coll,) + tuple(fpath)
+        if key not in flat:
+            continue
+        shape = flat[key].shape
+        if conv is ti.conv2d_kernel:
+            t = rng.randn(shape[3], shape[2], shape[0], shape[1])
+        elif conv is ti.conv3d_kernel:
+            t = rng.randn(shape[4], shape[3], shape[0], shape[1], shape[2])
+        elif conv is ti.conv_transpose2d_kernel:
+            t = rng.randn(shape[2], shape[3], shape[0], shape[1])
+        else:
+            t = rng.randn(*shape)
+        state[tname] = t.astype(np.float32)
+
+    out = ti.convert_state_dict(state, variables, 4)
+    rep = out.pop("_import_report")
+    assert rep["copied"] == len(state)
+    assert not rep["missing"]
+    assert not rep["unmatched"]
+    # spot-check a converted kernel landed transposed
+    k0 = out["params"]["feature_extractor"]["conv0_0"]["Conv_0"]["kernel"]
+    np.testing.assert_allclose(
+        k0, ti.conv2d_kernel(state["feature_extractor.conv0.0.conv.weight"]))
