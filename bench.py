@@ -65,6 +65,10 @@ def main():
     carry = jnp.float32(0)
     out, carry = forward(variables, left, right, carry)
     jax.block_until_ready((out, carry))
+    # second warmup with the loop's own carry type/sharding so the timed loop
+    # never hits a retrace (a mid-loop remote recompile costs minutes here)
+    out, carry = forward(variables, left, right, carry)
+    jax.block_until_ready((out, carry))
 
     iters = 20 if on_tpu else 2
     t0 = time.perf_counter()

@@ -31,6 +31,10 @@ def main(argv=None):
     p.add_argument("--save2where", type=str, required=True)
     p.add_argument("--mask_thold", type=float, default=0.3,
                    help="precomputed-mask threshold (demo.py:161)")
+    p.add_argument("--dump_intermediates", type=int, default=0,
+                   help="save a per-scene grid of stage outputs (the "
+                        "reference's is_check notebook workflow, "
+                        "SparseDenseNetRefinementMask.py:218-235)")
     args = p.parse_args(argv)
 
     enable_compilation_cache()
@@ -47,6 +51,8 @@ def main(argv=None):
     # bucket compiled forwards by (H, W, max_disp)
     import functools
 
+    want_all = bool(args.dump_intermediates)
+
     @functools.lru_cache(maxsize=8)
     def forward_for(max_disp):
         @jax.jit
@@ -54,6 +60,8 @@ def main(argv=None):
             out = model.apply(variables, left, right,
                               [lm0, lm1, lm2], [rm0, rm1, rm2],
                               train=False, max_disp=max_disp)
+            if want_all:
+                return out
             return out["preds"][-1]
         return fwd
 
@@ -80,10 +88,27 @@ def main(argv=None):
 
         fwd = forward_for(int(ndisp))
         t0 = time.perf_counter()
-        pred = fwd(variables, ln, rn, *[m[None] for m in lmasks],
-                   *[m[None] for m in rmasks])
-        pred = np.asarray(jax.block_until_ready(pred))[0]
+        result = fwd(variables, ln, rn, *[m[None] for m in lmasks],
+                     *[m[None] for m in rmasks])
+        result = jax.block_until_ready(result)
         dt = time.perf_counter() - t0
+        if want_all:
+            from decnet_tpu.utils.viz import show_imgs
+            out = result
+            pred = np.asarray(out["preds"][-1])[0]
+            panels = [(np.asarray(p)[0], f"pred s{i}")
+                      for i, p in enumerate(out["preds"])]
+            panels += [(np.asarray(x)[0], f"{nm} s{i + 1}")
+                       for nm in ("dense", "sparse", "fusion", "soft_mask",
+                                  "var")
+                       for i, x in enumerate(out[nm])]
+            panels += [(np.asarray(m)[0], f"mask s{i + 1}", "gray")
+                       for i, m in enumerate(out["masks_used"])]
+            show_imgs(panels, ncols=4,
+                      save_path=os.path.join(args.save2where,
+                                             name + "_check.png"))
+        else:
+            pred = np.asarray(result)[0]
         dio.write_submission_png(os.path.join(args.save2where, name + ".png"),
                                  pred, ori_h, ori_w)
         print(f"{name}: {lp.shape[0]}x{lp.shape[1]} ndisp={ndisp} "

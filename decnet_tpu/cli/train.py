@@ -31,7 +31,10 @@ def main(argv=None):
     p.add_argument("--dataset", type=str, required=True)
     p.add_argument("--root", type=str, required=True)
     p.add_argument("--train_split", type=str, default="train")
-    p.add_argument("--eval_split", type=str, default=None)
+    p.add_argument("--eval_split", type=str, default=None,
+                   help="run EPE/D1 eval on this split every eval_every steps")
+    p.add_argument("--eval_every", type=int, default=2000)
+    p.add_argument("--eval_batches", type=int, default=16)
     p.add_argument("--ckpt_dir", type=str, default=None)
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--multihost", type=int, default=0)
@@ -73,6 +76,32 @@ def main(argv=None):
                         num_workers=cfg.data.num_workers, drop_last=True,
                         seed=cfg.train.seed)
 
+    eval_loader = None
+    eval_step = None
+    if args.eval_split:
+        eval_ds = get_dataset(args.dataset, args.root, split=args.eval_split,
+                              is_training=False, mask_source=args.mask_source,
+                              img_size=(cfg.train.crop_h, cfg.train.crop_w),
+                              scale=cfg.model.down_scale,
+                              levels=cfg.model.num_stage - 1)
+        eval_loader = DataLoader(eval_ds, batch_size=cfg.train.batch_size,
+                                 num_workers=cfg.data.num_workers,
+                                 drop_last=True)
+        eval_step = make_eval_step(model, cfg)
+
+    def run_eval(state):
+        epes, d1s = [], []
+        for bi, ebatch in enumerate(eval_loader):
+            if bi >= args.eval_batches:
+                break
+            for k in ("name", "ori_h", "ori_w", "n_disp"):
+                ebatch.pop(k, None)
+            ebatch = shard_batch(ebatch, mesh)
+            m = eval_step(state, ebatch)
+            epes.append(float(m["epe"]))
+            d1s.append(float(m["d1"]))
+        return float(np.mean(epes)), float(np.mean(d1s))
+
     step = int(state.step)
     t_log = time.perf_counter()
     print(f"training from step {step} to {cfg.train.total_steps} "
@@ -97,6 +126,10 @@ def main(argv=None):
                                       round(cfg.train.log_every / dt, 3),
                                   **{k: round(v, 5) for k, v in logs.items()
                                      if k not in ("total", "grad_norm")}}))
+            if eval_loader is not None and step % args.eval_every == 0:
+                epe, d1 = run_eval(state)
+                print(json.dumps({"step": step, "eval_epe": round(epe, 4),
+                                  "eval_d1": round(d1, 3)}))
             if step % cfg.train.ckpt_every == 0 and \
                     jax.process_index() == 0:
                 mgr.save(step, state)

@@ -178,10 +178,15 @@ def _dref_kernel(ref_ref, tar_ref, tm_ref, mc_ref, out_ref, w_ref,
     kj = jax.lax.broadcasted_iota(jnp.int32, (tw, kw), 1)
     d = qi - kj + dp
     band = (d >= 0) & (d < max_disp)
-    valid = band[None] & (km[:, None, :] > 0)
+    # Gate by the query weight too: at ref_mask==0 queries the stored
+    # max_cost is 0, so exp(s) can overflow to inf and inf*0 -> NaN if only
+    # multiplied out afterwards. where() discards the inf safely.
+    w = w_ref[...]
+    # (reshape the f32 before comparing: Mosaic can't reshape i1 vectors)
+    valid = band[None] & (km[:, None, :] > 0) & (w[:, :, None] != 0)
     e = jnp.where(valid, jnp.exp(s - mc_ref[...][:, :, None]), 0.0)
     wq = e * (d.astype(jnp.float32)[None] - out_ref[...][:, :, None])
-    wq = wq * w_ref[...][:, :, None]
+    wq = wq * w[:, :, None]
     # (RB,C,KW) x (RB,TW,KW) -> (RB,C,TW)
     gref_ref[...] = jax.lax.dot_general(
         k, wq, (((2,), (2,)), ((0,), (0,))),
@@ -209,7 +214,11 @@ def _dtar_kernel(tar_ref, tm_ref, ref_ref, mc_ref, out_ref, w_ref,
     qi = jax.lax.broadcasted_iota(jnp.int32, (tw, qw), 1)
     d = qi - kj                                # q_global - k_global = i - j
     band = (d >= 0) & (d < max_disp)
-    valid = band[None] & (wq[:, None, :] != 0)
+    # A masked-out key was not part of the forward max, so its score can
+    # exceed mc[q] and exp overflows — gate by the key's tar mask in-kernel
+    # (NaN would survive the caller's multiply-by-mask: inf*0).
+    valid = band[None] & (wq[:, None, :] != 0) \
+        & (tm_ref[...][:, :, None] > 0)
     e = jnp.where(valid, jnp.exp(s - mc[:, None, :]), 0.0)
     wk = e * (d.astype(jnp.float32)[None] - ot[:, None, :]) * wq[:, None, :]
     gtar_ref[...] = jax.lax.dot_general(

@@ -77,3 +77,22 @@ def test_pallas_matches_xla_impl(rng):
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(p_ss), np.asarray(x_ss),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_backward_no_nan_with_large_features(rng):
+    """Regression: at ref_mask==0 queries the stored max_cost is 0, so the
+    dRef kernel's exp(s) can overflow; the gating must discard the inf before
+    any multiply (inf*0 -> NaN was a real training blow-up)."""
+    max_disp = 8
+    ref, tar, rm, tm = make_inputs(rng, B=1, H=2, W=40, C=8, density=0.5)
+    ref *= 12.0   # dot products ~ hundreds -> exp overflows where unclamped
+    tar *= 12.0
+    out, ss, mc = oracles.sparse_matching_fwd(ref, tar, rm, tm, max_disp)
+    g = rng.randn(*out.shape).astype(np.float32)
+    gr, gt = k.spamat_backward(ref, tar, rm, tm, out, ss, mc, g, max_disp)
+    assert np.isfinite(np.asarray(gr)).all()
+    assert np.isfinite(np.asarray(gt)).all()
+    want_gr, want_gt = oracles.sparse_matching_bwd(ref, tar, rm, tm, out, ss,
+                                                   mc, g, max_disp)
+    np.testing.assert_allclose(np.asarray(gr), want_gr, rtol=5e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gt), want_gt, rtol=5e-3, atol=1e-4)
