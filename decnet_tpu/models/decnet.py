@@ -141,7 +141,7 @@ class DecNet(nn.Module):
             pred, residual = Refinement(
                 lf.shape[-1], stage_id=stage,
                 dtype=dtype, name=f"refine_{stage - 1}")(
-                lf, rf, fused, train=train)
+                lf, rf, fused, train=train, max_disp=cur_max_disp)
             out["residual"].append(residual)
             out["preds"].append(pred)
 

@@ -98,10 +98,17 @@ class Refinement(nn.Module):
     _DILATIONS = {0: (1, 1, 1), 1: (1, 1, 1), 2: (2, 4, 6), 3: (3, 6, 9)}
 
     @nn.compact
-    def __call__(self, left_fea, right_fea, disp, *, train: bool = False):
+    def __call__(self, left_fea, right_fea, disp, *, train: bool = False,
+                 max_disp: int = 0):
         f = self.features
         d1, d2, d3 = self._DILATIONS[self.stage_id]
-        warped = warp_by_disparity(right_fea, disp).astype(left_fea.dtype)
+        if max_disp > 0 and jax.default_backend() == "tpu":
+            # gather-free Pallas warp (the XLA gather is ~38% of the forward)
+            from decnet_tpu.ops.pallas.warp import warp_by_disparity_fast
+            warped = warp_by_disparity_fast(right_fea, disp, max_disp)
+            warped = warped.astype(left_fea.dtype)
+        else:
+            warped = warp_by_disparity(right_fea, disp).astype(left_fea.dtype)
         x = jnp.concatenate(
             [left_fea, warped, disp[..., None].astype(left_fea.dtype)], axis=-1)
         x = ConvUnit(f, 3, dilation=d1, padding=d1, dtype=self.dtype,
