@@ -40,7 +40,7 @@ def main():
     on_tpu = backend == "tpu"
     cfg = ModelConfig(max_disp=216, base_channels=8, num_stage=4,
                       down_scale=3, cost_func="cor", use_detail=True,
-                      thold=0.9,
+                      thold=0.9, s2d_fine=on_tpu,
                       dtype="bfloat16" if on_tpu else "float32",
                       matching_impl="auto")
     model = get_model("decnet", cfg)
@@ -88,7 +88,7 @@ def main():
     print(json.dumps({
         "metric": "pairs_per_sec",
         "value": round(pairs_per_sec, 3),
-        "unit": f"stereo pairs/s (540x972, max_disp 216, bf16, 1 chip, "
+        "unit": f"stereo pairs/s (540x972, max_disp 216, bf16, s2d, 1 chip, "
                 f"backend={backend})",
         "vs_baseline": round(pairs_per_sec / REFERENCE_PAIRS_PER_SEC_ESTIMATE,
                              3),

@@ -37,6 +37,11 @@ class ModelConfig:
     sample_spa_size_list: Tuple[int, ...] = (-1, 3, 5, 7)
     dtype: str = "bfloat16"             # compute dtype (params stay f32)
     matching_impl: str = "auto"         # auto | pallas | xla
+    # Run the full-resolution stage in space-to-depth form (1/3-res x 72ch):
+    # full-res C=8 convs waste ~16x HBM bandwidth on TPU lane padding. Same
+    # function class, different parameterisation — a TPU-first variant, not
+    # numerically identical to the reference layers.
+    s2d_fine: bool = False
 
     def __post_init__(self):
         assert self.max_disp % (self.down_scale ** (self.num_stage - 1)) == 0, (

@@ -27,7 +27,9 @@ import flax.linen as nn
 from decnet_tpu.config import ModelConfig
 from decnet_tpu.nn.feature import FeatureExtractor
 from decnet_tpu.nn.heads import (CostRegNet, DynamicUpsampling, SoftAttention,
-                                 Refinement, DetailHead)
+                                 Refinement, DetailHead, SoftAttentionS2D,
+                                 RefinementS2D, DetailHeadS2D)
+from decnet_tpu.nn.layers import depth_to_space
 from decnet_tpu.ops.cost_volume import build_cost_volume
 from decnet_tpu.ops.regression import uniform_disp_samples, disparity_regression
 from decnet_tpu.ops.matching import sparse_matching_with_var
@@ -53,6 +55,7 @@ class DecNet(nn.Module):
         ns, scale = cfg.num_stage, cfg.down_scale
 
         extractor = FeatureExtractor(cfg.base_channels, ns, scale,
+                                     s2d_last=cfg.s2d_fine,
                                      dtype=dtype, name="feature_extractor")
         left_all = extractor(left.astype(dtype), train=train)
         right_all = extractor(right.astype(dtype), train=train)
@@ -67,6 +70,13 @@ class DecNet(nn.Module):
             lf = left_all[f"stage{stage}"]
             rf = right_all[f"stage{stage}"]
             cur_max_disp = max_disp // (scale ** (ns - stage - 1))
+            # the full-res stage may arrive in space-to-depth form
+            s2d = cfg.s2d_fine and stage == ns - 1 and stage > 0
+            if s2d:
+                lf_full = depth_to_space(lf, scale)   # (B,H,W,C) per-pixel
+                rf_full = depth_to_space(rf, scale)
+            else:
+                lf_full, rf_full = lf, rf
 
             if stage == 0:
                 B, H, W, _ = lf.shape
@@ -89,7 +99,11 @@ class DecNet(nn.Module):
                 continue
 
             if cfg.use_detail:
-                head = DetailHead(dtype=dtype, name=f"detail_{stage - 1}")
+                if s2d:
+                    head = DetailHeadS2D(scale, dtype=dtype,
+                                         name=f"detail_{stage - 1}")
+                else:
+                    head = DetailHead(dtype=dtype, name=f"detail_{stage - 1}")
                 l_logit, _, _ = head(lf, pre_left, train=train)
                 r_logit, _, _ = head(rf, pre_right, train=train)
                 l_detail = jax.nn.sigmoid(l_logit)
@@ -109,7 +123,7 @@ class DecNet(nn.Module):
             cur = jax.lax.stop_gradient(pred) if cfg.grad_method == "detach" \
                 else pred
 
-            dense = DynamicUpsampling(scale, dtype=dtype,
+            dense = DynamicUpsampling(scale, pre_unfolded=s2d, dtype=dtype,
                                       name=f"dyn_up_{stage - 1}")(
                 cur, lf, train=train)
             out["dense"].append(dense)
@@ -117,31 +131,41 @@ class DecNet(nn.Module):
             # one banded-softmax pass yields both the sparse disparity and its
             # variance (SpaMat + SpaVar fused; variance under stop_gradient
             # as in the reference's no_grad block)
-            sparse, var = sparse_matching_with_var(lf, rf, lmask, rmask,
-                                                   cur_max_disp,
+            sparse, var = sparse_matching_with_var(lf_full, rf_full, lmask,
+                                                   rmask, cur_max_disp,
                                                    cfg.matching_impl)
             var = jax.lax.stop_gradient(var)
             out["sparse"].append(sparse)
             out["var"].append(var)
 
-            att_in = jnp.concatenate([
-                lf,
-                dense[..., None].astype(dtype),
-                sparse[..., None].astype(dtype),
-                lmask[..., None].astype(dtype),
-                (-var)[..., None].astype(dtype)], axis=-1)
-            soft = SoftAttention(cfg.base_channels, dtype=dtype,
-                                 name=f"soft_att_{stage - 1}")(
-                att_in, train=train)
+            if s2d:
+                soft = SoftAttentionS2D(scale, dtype=dtype,
+                                        name=f"soft_att_{stage - 1}")(
+                    lf, [dense, sparse, lmask, -var], train=train)
+            else:
+                att_in = jnp.concatenate([
+                    lf,
+                    dense[..., None].astype(dtype),
+                    sparse[..., None].astype(dtype),
+                    lmask[..., None].astype(dtype),
+                    (-var)[..., None].astype(dtype)], axis=-1)
+                soft = SoftAttention(cfg.base_channels, dtype=dtype,
+                                     name=f"soft_att_{stage - 1}")(
+                    att_in, train=train)
             out["soft_mask"].append(soft)
 
             fused = dense * (1.0 - soft) + soft * sparse
             out["fusion"].append(fused)
 
-            pred, residual = Refinement(
-                lf.shape[-1], stage_id=stage,
-                dtype=dtype, name=f"refine_{stage - 1}")(
-                lf, rf, fused, train=train, max_disp=cur_max_disp)
+            if s2d:
+                pred, residual = RefinementS2D(
+                    scale, dtype=dtype, name=f"refine_{stage - 1}")(
+                    lf, rf_full, fused, train=train, max_disp=cur_max_disp)
+            else:
+                pred, residual = Refinement(
+                    lf.shape[-1], stage_id=stage,
+                    dtype=dtype, name=f"refine_{stage - 1}")(
+                    lf, rf, fused, train=train, max_disp=cur_max_disp)
             out["residual"].append(residual)
             out["preds"].append(pred)
 

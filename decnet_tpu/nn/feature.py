@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from decnet_tpu.nn.layers import ConvUnit, DeconvUnit
+from decnet_tpu.nn.layers import ConvUnit, DeconvUnit, space_to_depth
 
 
 class ASPP(nn.Module):
@@ -53,10 +53,18 @@ class DeconvBlock(nn.Module):
 
 
 class FeatureExtractor(nn.Module):
-    """4-scale pyramid; `out_channels` is coarse->fine [27C, 9C, 3C, C]."""
+    """4-scale pyramid; `out_channels` is coarse->fine [27C, 9C, 3C, C].
+
+    s2d_last: run the full-resolution level in space-to-depth form — the
+    image is s2d'd to (H/s, W/s, s*s*3) and "stage{ns-1}" is emitted as
+    (H/s, W/s, s*s*C) whose channel slices (i*s+j)*C:(i*s+j+1)*C serve as the
+    per-pixel descriptors of phase (i, j) (see layers.space_to_depth).  Full-
+    res C=8 convs are ~16x HBM-layout-inefficient on TPU; their s2d twins are
+    near-optimal."""
     base_channels: int = 8
     num_stage: int = 4
     down_scale: int = 3
+    s2d_last: bool = False
     dtype: Any = jnp.float32
 
     @property
@@ -70,16 +78,20 @@ class FeatureExtractor(nn.Module):
         C, s = self.base_channels, self.down_scale
         ns = self.num_stage
         outputs: Dict[str, jax.Array] = {}
+        s2d = self.s2d_last and ns > 1
+        C0 = C * s * s if s2d else C
 
-        conv0 = ConvUnit(C, 3, padding=1, dtype=self.dtype,
-                         name="conv0_0")(x, train=train)
-        conv0 = ConvUnit(C, 3, padding=1, dtype=self.dtype,
+        x0 = space_to_depth(x, s) if s2d else x
+        conv0 = ConvUnit(C0, 3, padding=1, dtype=self.dtype,
+                         name="conv0_0")(x0, train=train)
+        conv0 = ConvUnit(C0, 3, padding=1, dtype=self.dtype,
                          name="conv0_1")(conv0, train=train)
         if ns == 1:
             outputs["stage0"] = conv0
             return outputs
 
-        conv1 = ConvUnit(C * s, 3, stride=s, padding=1, dtype=self.dtype,
+        conv1 = ConvUnit(C * s, 3, stride=1 if s2d else s, padding=1,
+                         dtype=self.dtype,
                          name="conv1_0")(conv0, train=train)
         conv1 = ConvUnit(C * s, 3, padding=1, dtype=self.dtype,
                          name="conv1_1")(conv1, train=train)
@@ -123,9 +135,20 @@ class FeatureExtractor(nn.Module):
         else:
             res = conv1
         outputs[f"stage{ns - 2}"] = res
-        skip0 = ConvUnit(C, 1, padding=0, dtype=self.dtype,
+        skip0 = ConvUnit(C0, 1, padding=0, dtype=self.dtype,
                          name="trans0")(conv0, train=train)
-        res = DeconvBlock(C, dtype=self.dtype,
-                          name="deconv1")(skip0, res, train=train)
+        if s2d:
+            # the stride-s transpose conv of the faithful decoder is exactly a
+            # 1x1 conv to s*s*C channels in s2d space
+            up = ConvUnit(C0, 1, padding=0, dtype=self.dtype,
+                          name="deconv1_s2d")(res, train=train)
+            y = jnp.concatenate([up, skip0], axis=-1)
+            y = ConvUnit(C0, 3, padding=1, dtype=self.dtype,
+                         name="deconv1_c0")(y, train=train)
+            res = ConvUnit(C0, 3, padding=1, dtype=self.dtype,
+                           name="deconv1_c1")(y, train=train)
+        else:
+            res = DeconvBlock(C, dtype=self.dtype,
+                              name="deconv1")(skip0, res, train=train)
         outputs[f"stage{ns - 1}"] = res
         return outputs

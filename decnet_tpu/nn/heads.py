@@ -11,7 +11,8 @@ import flax.linen as nn
 
 from decnet_tpu.nn.layers import (ConvUnit, Conv3dUnit, DeconvUnit,
                                   he_fan_out, unfold_nonoverlap,
-                                  unfold3x3_replicate, pixel_shuffle)
+                                  unfold3x3_replicate, pixel_shuffle,
+                                  space_to_depth, depth_to_space)
 from decnet_tpu.ops.warp import warp_by_disparity
 
 
@@ -49,13 +50,15 @@ class DynamicUpsampling(nn.Module):
     features), gather 3x3 coarse neighbourhoods, weighted-sum, pixel-shuffle,
     scale disparity values by `scale`."""
     scale: int = 3
+    pre_unfolded: bool = False   # s2d features are already the 3x3 unfold
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, disp, fine_fea, *, train: bool = False):
         B, H, W = disp.shape
         r2 = self.scale ** 2
-        feats = unfold_nonoverlap(fine_fea, self.scale)       # (B,H,W,C*r^2)
+        feats = fine_fea if self.pre_unfolded else \
+            unfold_nonoverlap(fine_fea, self.scale)           # (B,H,W,C*r^2)
         inp = jnp.concatenate([disp[..., None], feats], axis=-1)
         w = ConvUnit(r2 * 9, 3, padding=1, dtype=self.dtype,
                      name="w0")(inp, train=train)
@@ -127,6 +130,100 @@ class Refinement(nn.Module):
                      name="c6")(x, train=train)
         residual = x.astype(jnp.float32)[..., 0]
         return disp + residual, residual
+
+
+class SoftAttentionS2D(nn.Module):
+    """Fusion-mask head operating in space-to-depth form: full-res maps enter
+    as s*s-channel planes at 1/s resolution, the logits leave as s*s channels
+    and are shuffled back — same function class as SoftAttention
+    (submodule.py:593-604) at ~an order of magnitude less HBM traffic."""
+    scale: int = 3
+    hidden: int = 72
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, fea_s2d, maps, *, train: bool = False):
+        """fea_s2d (B,h,w,Cs2d); maps: list of full-res (B,H,W) planes."""
+        r = self.scale
+        planes = [space_to_depth(m[..., None], r).astype(self.dtype)
+                  for m in maps]
+        x = jnp.concatenate([fea_s2d] + planes, axis=-1)
+        x = ConvUnit(self.hidden, 3, padding=1, dtype=self.dtype,
+                     name="c0")(x, train=train)
+        x = ConvUnit(self.hidden, 3, padding=1, dtype=self.dtype,
+                     name="c1")(x, train=train)
+        x = ConvUnit(r * r, 3, padding=1, relu=False, dtype=self.dtype,
+                     name="c2")(x, train=train)
+        logits = depth_to_space(x.astype(jnp.float32), r)[..., 0]
+        return jax.nn.sigmoid(logits)
+
+
+class RefinementS2D(nn.Module):
+    """Residual refinement in s2d form (cf. Refinement stage 3,
+    submodule.py:707-716): the warped right features enter per-pixel (from
+    the Pallas warp), are s2d-packed, and the 7-conv head runs at 1/s
+    resolution with the dilation schedule divided by s (same full-res
+    receptive field)."""
+    scale: int = 3
+    hidden: int = 72
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, left_s2d, right_full, disp, *, train: bool = False,
+                 max_disp: int = 0):
+        r = self.scale
+        h = self.hidden
+        if max_disp > 0 and jax.default_backend() == "tpu":
+            from decnet_tpu.ops.pallas.warp import warp_by_disparity_fast
+            warped = warp_by_disparity_fast(right_full, disp, max_disp)
+        else:
+            warped = warp_by_disparity(right_full, disp)
+        warped = space_to_depth(warped, r).astype(left_s2d.dtype)
+        disp_s2d = space_to_depth(disp[..., None], r).astype(left_s2d.dtype)
+        x = jnp.concatenate([left_s2d, warped, disp_s2d], axis=-1)
+        x = ConvUnit(h, 3, padding=1, dtype=self.dtype,
+                     name="c0")(x, train=train)
+        x = ConvUnit(h, 3, padding=1, dtype=self.dtype,
+                     name="c1")(x, train=train)
+        x = ConvUnit(h, 3, dilation=2, padding=2, dtype=self.dtype,
+                     name="c2")(x, train=train)
+        x = ConvUnit(h // 2, 3, padding=1, dtype=self.dtype,
+                     name="c3")(x, train=train)
+        x = ConvUnit(h // 2, 3, dilation=3, padding=3, dtype=self.dtype,
+                     name="c4")(x, train=train)
+        x = ConvUnit(h // 2, 3, padding=1, dtype=self.dtype,
+                     name="c5")(x, train=train)
+        x = ConvUnit(r * r, 3, padding=1, relu=False, bn=False,
+                     dtype=self.dtype, name="c6")(x, train=train)
+        residual = depth_to_space(x.astype(jnp.float32), r)[..., 0]
+        return disp + residual, residual
+
+
+class DetailHeadS2D(nn.Module):
+    """Lost-detail head in s2d form (cf. DetailHead, submodule.py:347-372):
+    both branches project to s*s*3 "RGB-per-phase" planes at 1/s resolution;
+    logits shuffle back to a full-res map."""
+    scale: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, cur_s2d, pre_fea, *, train: bool = False):
+        r = self.scale
+        p = ConvUnit(8 * r * r, 1, padding=0, bn=False, dtype=self.dtype,
+                     name="deconv0")(pre_fea, train=train)
+        p = ConvUnit(3 * r * r, 3, padding=1, relu=False, bn=True,
+                     dtype=self.dtype, name="deconv1")(p, train=train)
+        c = ConvUnit(8 * r * r, 3, padding=1, bn=False, dtype=self.dtype,
+                     name="sub0")(cur_s2d, train=train)
+        c = ConvUnit(3 * r * r, 3, padding=1, relu=False, bn=True,
+                     dtype=self.dtype, name="sub1")(c, train=train)
+        res = (c - p) ** 2
+        x = ConvUnit(3 * r * r, 3, padding=1, relu=False, bn=True,
+                     dtype=self.dtype, name="head0")(res, train=train)
+        x = ConvUnit(r * r, 1, padding=0, relu=False, bn=True,
+                     dtype=self.dtype, name="head1")(x, train=train)
+        logits = depth_to_space(x.astype(jnp.float32), r)[..., 0]
+        return logits, c, p
 
 
 class DetailHead(nn.Module):

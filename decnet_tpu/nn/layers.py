@@ -136,6 +136,27 @@ def unfold3x3_replicate(x: jax.Array) -> jax.Array:
                       for i in range(3) for j in range(3)], axis=-1)
 
 
+def space_to_depth(x: jax.Array, r: int) -> jax.Array:
+    """(B,H,W,C) -> (B,H/r,W/r,r*r*C), channel index (i*r + j)*C + c.
+
+    TPU layout trick: full-resolution low-channel tensors (C=8 at stage 3)
+    waste ~16x HBM bandwidth on 128-lane padding; their s2d form (C=72 at 1/3
+    res) is near-optimally laid out. Inverse: depth_to_space."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // r, r, W // r, r, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H // r, W // r, r * r * C)
+
+
+def depth_to_space(x: jax.Array, r: int) -> jax.Array:
+    """Inverse of space_to_depth."""
+    B, h, w, C = x.shape
+    c = C // (r * r)
+    x = x.reshape(B, h, w, r, r, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, h * r, w * r, c)
+
+
 def pixel_shuffle(x: jax.Array, r: int) -> jax.Array:
     """torch F.pixel_shuffle on NHWC: (B,H,W,r*r) -> (B,H*r,W*r,1), channel
     c = i*r+j lands at output offset (i, j)."""

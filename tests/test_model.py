@@ -120,3 +120,44 @@ def test_train_mode_updates_batch_stats(rng):
     assert "batch_stats" in mutated
     leaves = jax.tree_util.tree_leaves(mutated["batch_stats"])
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_forward_s2d_variant(rng):
+    """Space-to-depth fine-stage variant: same output shapes/contract."""
+    cfg = tiny_cfg(use_detail=True, thold=0.5, s2d_fine=True)
+    model = get_model("decnet", cfg)
+    left, right, _, _ = make_batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), left, right)
+    out = model.apply(variables, left, right)
+    shapes = [(1, 2, 3), (1, 6, 9), (1, 18, 27), (1, 54, 81)]
+    for p, s in zip(out["preds"], shapes):
+        assert p.shape == s
+        assert np.isfinite(np.asarray(p)).all()
+    assert out["sparse"][-1].shape == (1, 54, 81)
+    assert out["soft_mask"][-1].shape == (1, 54, 81)
+    assert out["left_details"][-1].shape == (1, 54, 81)
+
+
+def test_s2d_train_step_decreases_loss(rng):
+    from decnet_tpu.config import Config
+    from decnet_tpu.train.state import create_train_state
+    from decnet_tpu.train.step import make_train_step
+    cfg = Config()
+    cfg.model = tiny_cfg(use_detail=True, thold=0.5, s2d_fine=True)
+    cfg.train.lr = 1e-3
+    cfg.train.warmup_steps = 1
+    cfg.train.total_steps = 100
+    model = get_model("decnet", cfg.model)
+    left, right, lm, rm = make_batch(rng, B=2)
+    batch = {"left": left, "right": right,
+             "gt": (rng.rand(2, 54, 81) * 20).astype(np.float32),
+             "left_masks": lm, "right_masks": rm}
+    variables = model.init(jax.random.PRNGKey(0), left, right)
+    state = create_train_state(model, variables, cfg.train)
+    step = make_train_step(model, cfg, donate=False)
+    losses = []
+    for _ in range(6):
+        state, logs = step(state, batch)
+        losses.append(float(logs["total"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
