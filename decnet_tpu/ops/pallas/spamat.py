@@ -30,6 +30,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 EPS = 1e-6
+
+
+def _prec(dtype):
+    """HIGHEST for f32 inputs (exact parity); default for bf16 — bf16 is
+    native on the MXU with f32 accumulation, and HIGHEST+bf16 crashes the
+    Mosaic remote compiler (HTTP 500)."""
+    return (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
 _NEG = -3.0e38
 DEF_TW = 128
 
@@ -45,10 +53,15 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 def _rows(x):
-    """(B,H,W,C) -> (B*H, C, W) f32; masks (B,H,W) -> (B*H, W)."""
+    """(B,H,W,C) -> (B*H, C, W); masks (B,H,W) -> (B*H, W) f32.
+
+    bf16 features pass through uncast (the kernels accumulate scores in f32
+    via preferred_element_type); anything else is cast to f32."""
     if x.ndim == 4:
         B, H, W, C = x.shape
-        return x.astype(jnp.float32).reshape(B * H, W, C).transpose(0, 2, 1)
+        if x.dtype not in (jnp.bfloat16, jnp.float32):
+            x = x.astype(jnp.float32)
+        return x.reshape(B * H, W, C).transpose(0, 2, 1)
     B, H, W = x.shape
     return x.astype(jnp.float32).reshape(B * H, W)
 
@@ -78,7 +91,7 @@ def _moments_kernel(ref_ref, rm_ref, tar_ref, tm_ref,
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)  # (RB,TW,KW)
+                            precision=_prec(q.dtype))  # (RB,TW,KW)
     qi = jax.lax.broadcasted_iota(jnp.int32, (tw, kw), 0)
     kj = jax.lax.broadcasted_iota(jnp.int32, (tw, kw), 1)
     d = qi - kj + dp                        # disparity per (query, key)
@@ -173,7 +186,7 @@ def _dref_kernel(ref_ref, tar_ref, tm_ref, mc_ref, out_ref, w_ref,
     km = tm_ref[:, pl.ds(t * tw, kw)]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
+                            precision=_prec(q.dtype))
     qi = jax.lax.broadcasted_iota(jnp.int32, (tw, kw), 0)
     kj = jax.lax.broadcasted_iota(jnp.int32, (tw, kw), 1)
     d = qi - kj + dp
@@ -189,9 +202,8 @@ def _dref_kernel(ref_ref, tar_ref, tm_ref, mc_ref, out_ref, w_ref,
     wq = wq * w[:, :, None]
     # (RB,C,KW) x (RB,TW,KW) -> (RB,C,TW)
     gref_ref[...] = jax.lax.dot_general(
-        k, wq, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
+        k, wq.astype(k.dtype), (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=_prec(k.dtype))
 
 
 def _dtar_kernel(tar_ref, tm_ref, ref_ref, mc_ref, out_ref, w_ref,
@@ -209,7 +221,7 @@ def _dtar_kernel(tar_ref, tm_ref, ref_ref, mc_ref, out_ref, w_ref,
     wq = w_ref[:, pl.ds(t * tw, qw)]
     s = jax.lax.dot_general(k, qs, (((1,), (1,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)  # (RB,TW,QW)
+                            precision=_prec(k.dtype))  # (RB,TW,QW)
     kj = jax.lax.broadcasted_iota(jnp.int32, (tw, qw), 0)
     qi = jax.lax.broadcasted_iota(jnp.int32, (tw, qw), 1)
     d = qi - kj                                # q_global - k_global = i - j
@@ -222,9 +234,8 @@ def _dtar_kernel(tar_ref, tm_ref, ref_ref, mc_ref, out_ref, w_ref,
     e = jnp.where(valid, jnp.exp(s - mc[:, None, :]), 0.0)
     wk = e * (d.astype(jnp.float32)[None] - ot[:, None, :]) * wq[:, None, :]
     gtar_ref[...] = jax.lax.dot_general(
-        qs, wk, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
+        qs, wk.astype(qs.dtype), (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=_prec(qs.dtype))
 
 
 @functools.partial(jax.jit, static_argnames=("max_disp", "tw", "rb"))

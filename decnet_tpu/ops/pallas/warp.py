@@ -58,10 +58,12 @@ def _hwarp_kernel(feat_ref, x_ref, out_ref, *, band: int, tw: int):
                      frac[:, :, None], 0.0))
     # zeros padding handled by the zero-padded feature row itself; taps
     # outside [0, W) land on zeros.
+    prec = (jax.lax.Precision.HIGHEST if k.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)  # HIGHEST+bf16 crashes Mosaic
     out_ref[...] = jax.lax.dot_general(
         k, p.astype(k.dtype), (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST).astype(out_ref.dtype)
+        precision=prec).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("max_disp", "tw", "rb"))
@@ -98,24 +100,28 @@ def _warp_pallas_fwd(img, disp, max_disp: int):
     B, H, W, C = img.shape
     disp = jnp.clip(disp.astype(jnp.float32), -float(NEG_MARGIN),
                     float(max_disp))
-    # vertical pre-interpolation: y' = y*H/(H-1) - 0.5
+    # vertical pre-interpolation: y' = y*H/(H-1) - 0.5 (in the input dtype —
+    # bf16 stays bf16, avoiding two full-res f32 conversions)
+    wdt = img.dtype if img.dtype in (jnp.bfloat16, jnp.float32) \
+        else jnp.float32
     ys = jnp.arange(H, dtype=jnp.float32)
     yy = ys * (H / (H - 1.0)) - 0.5
     y0 = jnp.floor(yy).astype(jnp.int32)
-    wy1 = yy - y0.astype(jnp.float32)            # weight of row y0+1
-    img32 = img.astype(jnp.float32)
-    zrow = jnp.zeros_like(img32[:, :1])
-    up = jnp.concatenate([zrow, img32[:, :-1]], axis=1)     # row y-1
-    dn = jnp.concatenate([img32[:, 1:], zrow], axis=1)      # row y+1
+    wy1 = (yy - y0.astype(jnp.float32)).astype(wdt)   # weight of row y0+1
+    imgc = img.astype(wdt)
+    zrow = jnp.zeros_like(imgc[:, :1])
+    up = jnp.concatenate([zrow, imgc[:, :-1]], axis=1)      # row y-1
+    dn = jnp.concatenate([imgc[:, 1:], zrow], axis=1)       # row y+1
     row_y0 = jnp.where((y0 == ys.astype(jnp.int32) - 1)[None, :, None, None],
-                       up, img32)
+                       up, imgc)
     row_y1_same = jnp.where((y0 == ys.astype(jnp.int32) - 1)
-                            [None, :, None, None], img32, dn)
+                            [None, :, None, None], imgc, dn)
     # out-of-range rows (y0 < 0 or y0+1 > H-1) contribute zeros
-    row_y0 = jnp.where((y0 >= 0)[None, :, None, None], row_y0, 0.0)
+    row_y0 = jnp.where((y0 >= 0)[None, :, None, None], row_y0,
+                       jnp.zeros((), wdt))
     row_y1 = jnp.where((y0 + 1 <= H - 1)[None, :, None, None], row_y1_same,
-                       0.0)
-    vert = (row_y0 * (1.0 - wy1)[None, :, None, None]
+                       jnp.zeros((), wdt))
+    vert = (row_y0 * (1 - wy1)[None, :, None, None]
             + row_y1 * wy1[None, :, None, None])
 
     # horizontal banded warp
