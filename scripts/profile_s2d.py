@@ -12,7 +12,8 @@ cfg = ModelConfig(max_disp=216, base_channels=8, num_stage=4, down_scale=3,
                   dtype="bfloat16", matching_impl="auto", s2d_fine=True)
 model = get_model("decnet", cfg)
 rng = np.random.RandomState(0)
-B,H,W=2,540,972
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+H,W=540,972
 img = jnp.asarray(rng.rand(B,H,W,3), jnp.float32)
 variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1,54,54,3)), jnp.zeros((1,54,54,3)))
 @jax.jit

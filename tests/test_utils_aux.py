@@ -45,6 +45,18 @@ def test_show_imgs_saves_file(tmp_path, rng):
     assert os.path.exists(tmp_path / "d.png")
 
 
+def test_show_dist_saves_file(tmp_path, rng):
+    from decnet_tpu.utils.viz import show_dist, disparity_histogram
+    disp = rng.rand(20, 30).astype(np.float32) * 50
+    x, y = disparity_histogram(disp, max_disp=60)
+    assert x.shape == y.shape and y.sum() == (disp > 0).sum()
+    p = show_dist([(x, y, "hist"),
+                   {"x": x, "y": y, "title": "with points",
+                    "points": (x[:3], y[:3])}],
+                  save_path=str(tmp_path / "dist.png"))
+    assert os.path.exists(p)
+
+
 def test_timer_reports(rng):
     from decnet_tpu.utils.profiling import Timer
     t = Timer()
