@@ -82,31 +82,48 @@ def _pad_rows(x, r_to, w_to, w_axis, left=0):
 def _moments_kernel(ref_ref, rm_ref, tar_ref, tm_ref,
                     m_ref, se_ref, sed_ref, sed2_ref,
                     *, max_disp: int, tw: int):
+    # Sparsity: the reference CUDA kernel early-exits per masked-out query
+    # (SM_kernel.cu:32-33); the TPU analog is per-PROGRAM — detail masks are
+    # spatially clustered, so whole (rows x query-tile) blocks are empty and
+    # skip all compute.  Every consumer gates the moment maps by ref_mask
+    # (ops/matching.py), so zero-filled outputs for an empty tile are exact.
+    any_query = jnp.sum(rm_ref[...]) > 0
     t = pl.program_id(1)
-    dp = max_disp - 1
-    kw = tw + dp
-    q = ref_ref[...]                       # (RB, C, TW)
-    k = tar_ref[:, :, pl.ds(t * tw, kw)]   # (RB, C, KW) from padded full row
-    km = tm_ref[:, pl.ds(t * tw, kw)]      # (RB, KW)
 
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((0,), (0,))),
-                            preferred_element_type=jnp.float32,
-                            precision=_prec(q.dtype))  # (RB,TW,KW)
-    qi = jax.lax.broadcasted_iota(jnp.int32, (tw, kw), 0)
-    kj = jax.lax.broadcasted_iota(jnp.int32, (tw, kw), 1)
-    d = qi - kj + dp                        # disparity per (query, key)
-    band = (d >= 0) & (d < max_disp)
-    valid = band[None] & (km[:, None, :] > 0)
+    @pl.when(any_query)
+    def _compute():
+        dp = max_disp - 1
+        kw = tw + dp
+        q = ref_ref[...]                       # (RB, C, TW)
+        k = tar_ref[:, :, pl.ds(t * tw, kw)]   # (RB, C, KW) from full row
+        km = tm_ref[:, pl.ds(t * tw, kw)]      # (RB, KW)
 
-    s = jnp.where(valid, s, _NEG)
-    m = jnp.max(s, axis=2)
-    m_c = jnp.maximum(m, EPS)               # SM_kernel.cu:45 max-cost floor
-    e = jnp.where(valid, jnp.exp(s - m_c[:, :, None]), 0.0)
-    d_f = d.astype(jnp.float32)[None]
-    m_ref[...] = m_c
-    se_ref[...] = jnp.sum(e, axis=2)
-    sed_ref[...] = jnp.sum(e * d_f, axis=2)
-    sed2_ref[...] = jnp.sum(e * d_f * d_f, axis=2)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32,
+                                precision=_prec(q.dtype))  # (RB,TW,KW)
+        qi = jax.lax.broadcasted_iota(jnp.int32, (tw, kw), 0)
+        kj = jax.lax.broadcasted_iota(jnp.int32, (tw, kw), 1)
+        d = qi - kj + dp                        # disparity per (query, key)
+        band = (d >= 0) & (d < max_disp)
+        valid = band[None] & (km[:, None, :] > 0)
+
+        s2 = jnp.where(valid, s, _NEG)
+        m = jnp.max(s2, axis=2)
+        m_c = jnp.maximum(m, EPS)           # SM_kernel.cu:45 max-cost floor
+        e = jnp.where(valid, jnp.exp(s2 - m_c[:, :, None]), 0.0)
+        d_f = d.astype(jnp.float32)[None]
+        m_ref[...] = m_c
+        se_ref[...] = jnp.sum(e, axis=2)
+        sed_ref[...] = jnp.sum(e * d_f, axis=2)
+        sed2_ref[...] = jnp.sum(e * d_f * d_f, axis=2)
+
+    @pl.when(jnp.logical_not(any_query))
+    def _skip():
+        zero = jnp.zeros(m_ref.shape, m_ref.dtype)
+        m_ref[...] = zero
+        se_ref[...] = zero
+        sed_ref[...] = zero
+        sed2_ref[...] = zero
 
 
 @functools.partial(jax.jit, static_argnames=("max_disp", "tw", "rb"))
@@ -178,32 +195,41 @@ def _dref_kernel(ref_ref, tar_ref, tm_ref, mc_ref, out_ref, w_ref,
                  gref_ref, *, max_disp: int, tw: int):
     """grad_ref[q] = (g/sum_sim)[q] * sum_k e(q,k) * (d - out[q]) * tar[k]
     (SM_kernel.cu:143-195). w_ref holds g/sum_sim pre-gated by ref_mask."""
-    t = pl.program_id(1)
-    dp = max_disp - 1
-    kw = tw + dp
-    q = ref_ref[...]
-    k = tar_ref[:, :, pl.ds(t * tw, kw)]
-    km = tm_ref[:, pl.ds(t * tw, kw)]
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((0,), (0,))),
-                            preferred_element_type=jnp.float32,
-                            precision=_prec(q.dtype))
-    qi = jax.lax.broadcasted_iota(jnp.int32, (tw, kw), 0)
-    kj = jax.lax.broadcasted_iota(jnp.int32, (tw, kw), 1)
-    d = qi - kj + dp
-    band = (d >= 0) & (d < max_disp)
-    # Gate by the query weight too: at ref_mask==0 queries the stored
-    # max_cost is 0, so exp(s) can overflow to inf and inf*0 -> NaN if only
-    # multiplied out afterwards. where() discards the inf safely.
+    # Tile skip (cf. the forward kernel): w is g/sum_sim pre-gated by
+    # ref_mask, so an all-zero w block contributes nothing.
     w = w_ref[...]
-    # (reshape the f32 before comparing: Mosaic can't reshape i1 vectors)
-    valid = band[None] & (km[:, None, :] > 0) & (w[:, :, None] != 0)
-    e = jnp.where(valid, jnp.exp(s - mc_ref[...][:, :, None]), 0.0)
-    wq = e * (d.astype(jnp.float32)[None] - out_ref[...][:, :, None])
-    wq = wq * w[:, :, None]
-    # (RB,C,KW) x (RB,TW,KW) -> (RB,C,TW)
-    gref_ref[...] = jax.lax.dot_general(
-        k, wq.astype(k.dtype), (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32, precision=_prec(k.dtype))
+    any_query = jnp.sum(jnp.abs(w)) > 0
+    t = pl.program_id(1)
+
+    @pl.when(any_query)
+    def _compute():
+        dp = max_disp - 1
+        kw = tw + dp
+        q = ref_ref[...]
+        k = tar_ref[:, :, pl.ds(t * tw, kw)]
+        km = tm_ref[:, pl.ds(t * tw, kw)]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32,
+                                precision=_prec(q.dtype))
+        qi = jax.lax.broadcasted_iota(jnp.int32, (tw, kw), 0)
+        kj = jax.lax.broadcasted_iota(jnp.int32, (tw, kw), 1)
+        d = qi - kj + dp
+        band = (d >= 0) & (d < max_disp)
+        # Gate by the query weight too: at ref_mask==0 queries the stored
+        # max_cost is 0, so exp(s) can overflow to inf and inf*0 -> NaN if
+        # only multiplied out afterwards. where() discards the inf safely.
+        valid = band[None] & (km[:, None, :] > 0) & (w[:, :, None] != 0)
+        e = jnp.where(valid, jnp.exp(s - mc_ref[...][:, :, None]), 0.0)
+        wq = e * (d.astype(jnp.float32)[None] - out_ref[...][:, :, None])
+        wq = wq * w[:, :, None]
+        # (RB,C,KW) x (RB,TW,KW) -> (RB,C,TW)
+        gref_ref[...] = jax.lax.dot_general(
+            k, wq.astype(k.dtype), (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=_prec(k.dtype))
+
+    @pl.when(jnp.logical_not(any_query))
+    def _skip():
+        gref_ref[...] = jnp.zeros(gref_ref.shape, gref_ref.dtype)
 
 
 def _dtar_kernel(tar_ref, tm_ref, ref_ref, mc_ref, out_ref, w_ref,
@@ -214,28 +240,41 @@ def _dtar_kernel(tar_ref, tm_ref, ref_ref, mc_ref, out_ref, w_ref,
     t = pl.program_id(1)
     dp = max_disp - 1
     qw = tw + dp
-    k = tar_ref[...]                          # (RB, C, TW) keys (real coords)
-    qs = ref_ref[:, :, pl.ds(t * tw, qw)]     # queries window
-    mc = mc_ref[:, pl.ds(t * tw, qw)]
-    ot = out_ref[:, pl.ds(t * tw, qw)]
     wq = w_ref[:, pl.ds(t * tw, qw)]
-    s = jax.lax.dot_general(k, qs, (((1,), (1,)), ((0,), (0,))),
-                            preferred_element_type=jnp.float32,
-                            precision=_prec(k.dtype))  # (RB,TW,QW)
-    kj = jax.lax.broadcasted_iota(jnp.int32, (tw, qw), 0)
-    qi = jax.lax.broadcasted_iota(jnp.int32, (tw, qw), 1)
-    d = qi - kj                                # q_global - k_global = i - j
-    band = (d >= 0) & (d < max_disp)
-    # A masked-out key was not part of the forward max, so its score can
-    # exceed mc[q] and exp overflows — gate by the key's tar mask in-kernel
-    # (NaN would survive the caller's multiply-by-mask: inf*0).
-    valid = band[None] & (wq[:, None, :] != 0) \
-        & (tm_ref[...][:, :, None] > 0)
-    e = jnp.where(valid, jnp.exp(s - mc[:, None, :]), 0.0)
-    wk = e * (d.astype(jnp.float32)[None] - ot[:, None, :]) * wq[:, None, :]
-    gtar_ref[...] = jax.lax.dot_general(
-        qs, wk.astype(qs.dtype), (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32, precision=_prec(qs.dtype))
+    tm = tm_ref[...]
+    # Tile skip: no masked key in this tile, or no contributing query in the
+    # window (wq is g/sum_sim gated by ref_mask). gtar is multiplied by
+    # tar_mask by the caller, so zeros are exact either way.
+    any_work = (jnp.sum(tm) > 0) & (jnp.sum(jnp.abs(wq)) > 0)
+
+    @pl.when(any_work)
+    def _compute():
+        k = tar_ref[...]                      # (RB, C, TW) keys (real coords)
+        qs = ref_ref[:, :, pl.ds(t * tw, qw)]     # queries window
+        mc = mc_ref[:, pl.ds(t * tw, qw)]
+        ot = out_ref[:, pl.ds(t * tw, qw)]
+        s = jax.lax.dot_general(k, qs, (((1,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32,
+                                precision=_prec(k.dtype))  # (RB,TW,QW)
+        kj = jax.lax.broadcasted_iota(jnp.int32, (tw, qw), 0)
+        qi = jax.lax.broadcasted_iota(jnp.int32, (tw, qw), 1)
+        d = qi - kj                            # q_global - k_global = i - j
+        band = (d >= 0) & (d < max_disp)
+        # A masked-out key was not part of the forward max, so its score can
+        # exceed mc[q] and exp overflows — gate by the key's tar mask
+        # in-kernel (NaN would survive the caller's multiply-by-mask: inf*0).
+        valid = band[None] & (wq[:, None, :] != 0) \
+            & (tm[:, :, None] > 0)
+        e = jnp.where(valid, jnp.exp(s - mc[:, None, :]), 0.0)
+        wk = e * (d.astype(jnp.float32)[None] - ot[:, None, :]) \
+            * wq[:, None, :]
+        gtar_ref[...] = jax.lax.dot_general(
+            qs, wk.astype(qs.dtype), (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=_prec(qs.dtype))
+
+    @pl.when(jnp.logical_not(any_work))
+    def _skip():
+        gtar_ref[...] = jnp.zeros(gtar_ref.shape, gtar_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("max_disp", "tw", "rb"))

@@ -44,8 +44,8 @@ def timeit(name, fn, carry0, iters=20):
 
 
 print("== moments (CW layout, stage3 shape) ==", flush=True)
-for tw in (128, 243, 324, 486):
-    for rb in (8, 16):
+for tw in (128, 256, 512):
+    for rb in (8, 16, 32):
         def f(carry, tw=tw, rb=rb):
             r = ref + carry.astype(jnp.bfloat16) * 0
             m, se, sed, sed2 = spamat.moments(r, tar, msk, msk, D,
@@ -54,8 +54,8 @@ for tw in (128, 243, 324, 486):
         timeit(f"moments tw={tw} rb={rb}", f, jnp.float32(0))
 
 print("== hwarp (CW layout, stage3 shape) ==", flush=True)
-for tw in (128, 243, 324, 486):
-    for rb in (8, 16):
+for tw in (128, 256, 512):
+    for rb in (8, 16, 32):
         def f(carry, tw=tw, rb=rb):
             ff = feat_cw + carry.astype(jnp.bfloat16) * 0
             o = _hwarp_rows(ff, xc, D, tw=tw, rb=rb)

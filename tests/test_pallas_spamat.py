@@ -79,6 +79,43 @@ def test_pallas_matches_xla_impl(rng):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_pallas_tile_skip_clustered_masks(rng):
+    """The kernels skip whole (rows x query-tile) programs whose ref-mask
+    block is all zero (the TPU analog of SM_kernel.cu:32-33's per-thread
+    early exit). Clustered masks leave most tiles empty; results must still
+    match the oracle exactly, including the all-empty extreme."""
+    max_disp = 20
+    ref, tar, rm, tm = make_inputs(rng, B=1, H=2, W=300, C=4, density=0.7)
+    # confine the query mask to the first few columns -> tiles 2..3 skip
+    rm[:, :, 24:] = 0.0
+    want, want_ss, want_mc = oracles.sparse_matching_fwd(ref, tar, rm, tm,
+                                                         max_disp)
+    got, got_ss, got_mc = k.spamat_forward(ref, tar, rm, tm, max_disp)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_ss), want_ss, rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_mc), want_mc, rtol=1e-4,
+                               atol=1e-5)
+
+    out, ss, mc = want, want_ss, want_mc
+    g = rng.randn(*out.shape).astype(np.float32)
+    want_gr, want_gt = oracles.sparse_matching_bwd(ref, tar, rm, tm, out, ss,
+                                                   mc, g, max_disp)
+    got_gr, got_gt = k.spamat_backward(ref, tar, rm, tm, out, ss, mc, g,
+                                       max_disp)
+    np.testing.assert_allclose(np.asarray(got_gr), want_gr, rtol=2e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_gt), want_gt, rtol=2e-4,
+                               atol=1e-5)
+
+    # all-empty masks: every tile skips; outputs are exactly zero
+    zm = np.zeros_like(rm)
+    z_out, z_ss, z_mc = k.spamat_forward(ref, tar, zm, tm, max_disp)
+    assert np.all(np.asarray(z_out) == 0)
+    assert np.all(np.asarray(z_ss) == 0)
+    assert np.all(np.asarray(z_mc) == 0)
+
+
 def test_pallas_backward_no_nan_with_large_features(rng):
     """Regression: at ref_mask==0 queries the stored max_cost is 0, so the
     dRef kernel's exp(s) can overflow; the gating must discard the inf before
