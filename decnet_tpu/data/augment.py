@@ -5,6 +5,8 @@ Ports of the reference's data-level robustness injections:
 * random mean-colour occlusion patch (KITTI15Mask.py:150-157)
 * photometric contrast/gamma/brightness/colour jitter
   (KITTI15Mask.py:312-364 RandomPhotometric)
+* AlexNet-style PCA lighting noise (KITTI15Mask.py:13-36 Lighting — defined
+  upstream but never wired into a loader; exposed here as an optional aug)
 
 All functions take/return float images in [0,255] (pre-normalisation), HWC.
 """
@@ -82,6 +84,30 @@ def random_photometric(left: np.ndarray, right: np.ndarray,
         return np.clip(x * 255.0, 0, 255).astype(img.dtype)
 
     return apply(left), apply(right)
+
+
+# ImageNet RGB covariance eigendecomposition (KITTI15Mask.py:17-23).
+_LIGHTING_EIGVAL = np.array([0.2175, 0.0188, 0.0045], dtype=np.float32)
+_LIGHTING_EIGVEC = np.array([
+    [-0.5675, 0.7192, 0.4009],
+    [-0.5808, -0.0045, -0.8140],
+    [-0.5836, -0.6948, 0.4203],
+], dtype=np.float32)
+
+
+def pca_lighting_noise(img: np.ndarray, rng: np.random.RandomState,
+                       alphastd: float = 0.1) -> np.ndarray:
+    """AlexNet-style PCA-based lighting noise (KITTI15Mask.py:13-36): add a
+    random linear combination of the ImageNet RGB principal components.
+
+    The reference operates on normalised CHW tensors; here the shift is scaled
+    to this module's [0,255] HWC convention (×255)."""
+    if alphastd == 0:
+        return img
+    alpha = rng.normal(0, alphastd, 3).astype(np.float32)
+    rgb = (_LIGHTING_EIGVEC * (alpha * _LIGHTING_EIGVAL)[None, :]).sum(axis=1)
+    out = img.astype(np.float32) + rgb[None, None, :] * 255.0
+    return np.clip(out, 0, 255).astype(img.dtype)
 
 
 def horizontal_flip_stereo(left: np.ndarray, right: np.ndarray,

@@ -169,3 +169,56 @@ def test_augmentations(rng):
     nl, nr, ng = augment.horizontal_flip_stereo(left, right, gl, gr)
     np.testing.assert_array_equal(nl, right[:, ::-1])
     np.testing.assert_array_equal(ng, gr[:, ::-1])
+
+
+def test_pca_lighting_noise(rng):
+    from decnet_tpu.data import augment
+    img = rng.rand(27, 36, 3).astype(np.float32) * 200 + 20
+    r = np.random.RandomState(3)
+    out = augment.pca_lighting_noise(img, r)
+    # per-channel constant shift (away from clipping)
+    shift = out - img
+    for c in range(3):
+        assert np.ptp(shift[..., c]) < 1e-3
+    assert (shift != 0).any()
+    np.testing.assert_array_equal(augment.pca_lighting_noise(img, r, 0.0), img)
+
+
+def test_anisotropic_diffusion_matches_reference_formula(rng):
+    """Oracle transcription of utils/utils.py:393-441: gradients computed once
+    from the input, reused every iteration."""
+    from decnet_tpu.data.masks import anisotropic_diffusion
+    img = (rng.rand(13, 17) * 255).astype(np.float32)
+    lamda, sigma, iters = 0.1, 15.0, 4
+
+    def gauss(x):
+        return np.exp(-(x ** 2) / sigma ** 2)
+
+    lg = (np.column_stack((img, img[:, -1])) -
+          np.column_stack((img[:, 0], img)))[:, :-1]
+    rg = (np.column_stack((img[:, 0], img)) -
+          np.column_stack((img, img[:, -1])))[:, 1:]
+    tg = (np.vstack((img, img[-1:])) - np.vstack((img[:1], img)))[:-1]
+    bg = (np.vstack((img[:1], img)) - np.vstack((img, img[-1:])))[1:]
+    expect = img.copy()
+    for _ in range(iters):
+        expect = expect + lamda * (lg * gauss(lg) + rg * gauss(rg) +
+                                   tg * gauss(tg) + bg * gauss(bg))
+    got = anisotropic_diffusion(img, iterations=iters, lamda=lamda,
+                                sigma=sigma)
+    np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(
+        anisotropic_diffusion(img, iterations=0), img)
+    # Edge-awareness property of the reference formula: the Gaussian weight
+    # exp(-grad²/σ²) kills the update at strong edges (grad 200, σ 15), while
+    # low-contrast texture changes freely. (NB the reference's update has the
+    # sign of (center - neighbour) — an edge-aware sharpen, not a blur — and
+    # freezes the gradients at the input; both quirks kept for parity.)
+    edge = np.zeros((20, 20), np.float32)
+    edge[:, 10:] = 200.0
+    noisy = edge + rng.randn(20, 20).astype(np.float32) * 3
+    sm = anisotropic_diffusion(noisy, iterations=1)
+    edge_cols = np.abs(sm - noisy)[:, 9:11]
+    flat_cols = np.abs(sm - noisy)[:, [0, 1, 18, 19]]
+    assert edge_cols.mean() < flat_cols.mean()
+    assert abs(float(sm[:, 10].mean() - sm[:, 9].mean())) > 150
