@@ -29,10 +29,12 @@ from decnet_tpu.nn.feature import FeatureExtractor
 from decnet_tpu.nn.heads import (CostRegNet, DynamicUpsampling, SoftAttention,
                                  Refinement, DetailHead, SoftAttentionS2D,
                                  RefinementS2D, DetailHeadS2D)
-from decnet_tpu.nn.layers import depth_to_space
+from decnet_tpu.nn.layers import (depth_to_space, s2d_to_rows, plane_to_s2d,
+                                  s2d_to_plane)
 from decnet_tpu.ops.cost_volume import build_cost_volume
 from decnet_tpu.ops.regression import uniform_disp_samples, disparity_regression
-from decnet_tpu.ops.matching import sparse_matching_with_var
+from decnet_tpu.ops.matching import (sparse_matching_with_var,
+                                     sparse_matching_with_var_rows)
 from decnet_tpu.ops.resize import interpolate
 
 
@@ -70,13 +72,14 @@ class DecNet(nn.Module):
             lf = left_all[f"stage{stage}"]
             rf = right_all[f"stage{stage}"]
             cur_max_disp = max_disp // (scale ** (ns - stage - 1))
-            # the full-res stage may arrive in space-to-depth form
+            # the full-res stage may arrive in space-to-depth form; its whole
+            # pipeline then runs layout-native: features go ONCE to the Pallas
+            # kernels' rows-form (B,H,C,W), planar maps stay in s2d plane form
+            # (B,h,w,s^2), and full-res NHWC is never materialised
             s2d = cfg.s2d_fine and stage == ns - 1 and stage > 0
             if s2d:
-                lf_full = depth_to_space(lf, scale)   # (B,H,W,C) per-pixel
-                rf_full = depth_to_space(rf, scale)
-            else:
-                lf_full, rf_full = lf, rf
+                lf_rows = s2d_to_rows(lf, scale)      # (B,H,C,W)
+                rf_rows = s2d_to_rows(rf, scale)
 
             if stage == 0:
                 B, H, W, _ = lf.shape
@@ -94,6 +97,8 @@ class DecNet(nn.Module):
                 # plain bicubic upsampling escape hatch (Middlebury full-res,
                 # SparseDenseNetRefinementMask.py:143-144)
                 H, W = lf.shape[1], lf.shape[2]
+                if s2d:
+                    H, W = H * scale, W * scale
                 pred = interpolate(pred * scale, H, W, "bicubic")
                 out["preds"].append(pred)
                 continue
@@ -106,42 +111,68 @@ class DecNet(nn.Module):
                     head = DetailHead(dtype=dtype, name=f"detail_{stage - 1}")
                 l_logit, _, _ = head(lf, pre_left, train=train)
                 r_logit, _, _ = head(rf, pre_right, train=train)
-                l_detail = jax.nn.sigmoid(l_logit)
+                l_detail = jax.nn.sigmoid(l_logit)  # s2d plane when s2d
                 r_detail = jax.nn.sigmoid(r_logit)
-                out["left_details"].append(l_detail)
-                out["right_details"].append(r_detail)
-                lmask = jax.lax.stop_gradient(
-                    (l_detail > cfg.thold).astype(jnp.float32))
-                rmask = jax.lax.stop_gradient(
-                    (r_detail > cfg.thold).astype(jnp.float32))
+                if s2d:
+                    lmask_s2d = jax.lax.stop_gradient(
+                        (l_detail > cfg.thold).astype(jnp.float32))
+                    rmask_s2d = jax.lax.stop_gradient(
+                        (r_detail > cfg.thold).astype(jnp.float32))
+                    # the matching kernel scans full-res rows
+                    lmask = s2d_to_plane(lmask_s2d, scale)
+                    rmask = s2d_to_plane(rmask_s2d, scale)
+                    out["left_details"].append(s2d_to_plane(l_detail, scale))
+                    out["right_details"].append(s2d_to_plane(r_detail, scale))
+                else:
+                    out["left_details"].append(l_detail)
+                    out["right_details"].append(r_detail)
+                    lmask = jax.lax.stop_gradient(
+                        (l_detail > cfg.thold).astype(jnp.float32))
+                    rmask = jax.lax.stop_gradient(
+                        (r_detail > cfg.thold).astype(jnp.float32))
             else:
                 lmask = left_masks[stage - 1].astype(jnp.float32)
                 rmask = right_masks[stage - 1].astype(jnp.float32)
+                if s2d:
+                    lmask_s2d = plane_to_s2d(lmask, scale)
             out["masks_used"].append(lmask)
             pre_left, pre_right = lf, rf
 
             cur = jax.lax.stop_gradient(pred) if cfg.grad_method == "detach" \
                 else pred
 
-            dense = DynamicUpsampling(scale, pre_unfolded=s2d, dtype=dtype,
+            dense = DynamicUpsampling(scale, pre_unfolded=s2d, out_s2d=s2d,
+                                      dtype=dtype,
                                       name=f"dyn_up_{stage - 1}")(
                 cur, lf, train=train)
-            out["dense"].append(dense)
+            # with s2d, `dense` is the s2d plane (B,h,w,s^2)
+            out["dense"].append(s2d_to_plane(dense, scale) if s2d else dense)
 
             # one banded-softmax pass yields both the sparse disparity and its
             # variance (SpaMat + SpaVar fused; variance under stop_gradient
             # as in the reference's no_grad block)
-            sparse, var = sparse_matching_with_var(lf_full, rf_full, lmask,
-                                                   rmask, cur_max_disp,
-                                                   cfg.matching_impl)
-            var = jax.lax.stop_gradient(var)
-            out["sparse"].append(sparse)
-            out["var"].append(var)
+            if s2d:
+                sparse_full, var_full = sparse_matching_with_var_rows(
+                    lf_rows, rf_rows, lmask, rmask, cur_max_disp,
+                    cfg.matching_impl)
+                var_full = jax.lax.stop_gradient(var_full)
+                sparse = plane_to_s2d(sparse_full, scale)
+                var = plane_to_s2d(var_full, scale)
+                out["sparse"].append(sparse_full)
+                out["var"].append(var_full)
+            else:
+                sparse, var = sparse_matching_with_var(lf, rf, lmask,
+                                                       rmask, cur_max_disp,
+                                                       cfg.matching_impl)
+                var = jax.lax.stop_gradient(var)
+                out["sparse"].append(sparse)
+                out["var"].append(var)
 
             if s2d:
                 soft = SoftAttentionS2D(scale, dtype=dtype,
                                         name=f"soft_att_{stage - 1}")(
-                    lf, [dense, sparse, lmask, -var], train=train)
+                    lf, [dense, sparse, lmask_s2d, -var], train=train)
+                out["soft_mask"].append(s2d_to_plane(soft, scale))
             else:
                 att_in = jnp.concatenate([
                     lf,
@@ -152,15 +183,18 @@ class DecNet(nn.Module):
                 soft = SoftAttention(cfg.base_channels, dtype=dtype,
                                      name=f"soft_att_{stage - 1}")(
                     att_in, train=train)
-            out["soft_mask"].append(soft)
+                out["soft_mask"].append(soft)
 
             fused = dense * (1.0 - soft) + soft * sparse
-            out["fusion"].append(fused)
+            out["fusion"].append(s2d_to_plane(fused, scale) if s2d else fused)
 
             if s2d:
-                pred, residual = RefinementS2D(
+                pred_s2d, residual_s2d = RefinementS2D(
                     scale, dtype=dtype, name=f"refine_{stage - 1}")(
-                    lf, rf_full, fused, train=train, max_disp=cur_max_disp)
+                    lf, rf_rows, fused, s2d_to_plane(fused, scale),
+                    train=train, max_disp=cur_max_disp)
+                pred = s2d_to_plane(pred_s2d, scale)
+                residual = s2d_to_plane(residual_s2d, scale)
             else:
                 pred, residual = Refinement(
                     lf.shape[-1], stage_id=stage,

@@ -12,7 +12,7 @@ import flax.linen as nn
 from decnet_tpu.nn.layers import (ConvUnit, Conv3dUnit, DeconvUnit,
                                   he_fan_out, unfold_nonoverlap,
                                   unfold3x3_replicate, pixel_shuffle,
-                                  space_to_depth, depth_to_space)
+                                  space_to_depth, depth_to_space, rows_to_s2d)
 from decnet_tpu.ops.warp import warp_by_disparity
 
 
@@ -51,6 +51,7 @@ class DynamicUpsampling(nn.Module):
     scale disparity values by `scale`."""
     scale: int = 3
     pre_unfolded: bool = False   # s2d features are already the 3x3 unfold
+    out_s2d: bool = False        # return the s2d plane (B,H,W,r^2) unshuffled
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -70,8 +71,12 @@ class DynamicUpsampling(nn.Module):
                            axis=-1)
         content = unfold3x3_replicate(disp)                    # (B,H,W,9)
         res = jnp.einsum("bhwrk,bhwk->bhwr", w, content.astype(jnp.float32))
-        up = pixel_shuffle(res, self.scale) * self.scale
-        return up[..., 0]
+        res = res * self.scale
+        if self.out_s2d:
+            # pixel_shuffle's channel->offset map (i*r+j) equals the s2d
+            # plane convention, so `res` IS the s2d form of the upsampled map
+            return res
+        return pixel_shuffle(res, self.scale)[..., 0]
 
 
 class SoftAttention(nn.Module):
@@ -134,19 +139,20 @@ class Refinement(nn.Module):
 
 class SoftAttentionS2D(nn.Module):
     """Fusion-mask head operating in space-to-depth form: full-res maps enter
-    as s*s-channel planes at 1/s resolution, the logits leave as s*s channels
-    and are shuffled back — same function class as SoftAttention
-    (submodule.py:593-604) at ~an order of magnitude less HBM traffic."""
+    as s*s-channel s2d planes at 1/s resolution and the sigmoid mask leaves
+    in the same form — same function class as SoftAttention
+    (submodule.py:593-604) at ~an order of magnitude less HBM traffic, with
+    no full-resolution round trips at all."""
     scale: int = 3
     hidden: int = 72
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, fea_s2d, maps, *, train: bool = False):
-        """fea_s2d (B,h,w,Cs2d); maps: list of full-res (B,H,W) planes."""
+    def __call__(self, fea_s2d, planes_s2d, *, train: bool = False):
+        """fea_s2d (B,h,w,Cs2d); planes_s2d: list of (B,h,w,r*r) s2d planes
+        (see layers.plane_to_s2d).  Returns the (B,h,w,r*r) sigmoid mask."""
         r = self.scale
-        planes = [space_to_depth(m[..., None], r).astype(self.dtype)
-                  for m in maps]
+        planes = [p.astype(self.dtype) for p in planes_s2d]
         x = jnp.concatenate([fea_s2d] + planes, axis=-1)
         x = ConvUnit(self.hidden, 3, padding=1, dtype=self.dtype,
                      name="c0")(x, train=train)
@@ -154,33 +160,39 @@ class SoftAttentionS2D(nn.Module):
                      name="c1")(x, train=train)
         x = ConvUnit(r * r, 3, padding=1, relu=False, dtype=self.dtype,
                      name="c2")(x, train=train)
-        logits = depth_to_space(x.astype(jnp.float32), r)[..., 0]
-        return jax.nn.sigmoid(logits)
+        return jax.nn.sigmoid(x.astype(jnp.float32))
 
 
 class RefinementS2D(nn.Module):
     """Residual refinement in s2d form (cf. Refinement stage 3,
-    submodule.py:707-716): the warped right features enter per-pixel (from
-    the Pallas warp), are s2d-packed, and the 7-conv head runs at 1/s
-    resolution with the dilation schedule divided by s (same full-res
-    receptive field)."""
+    submodule.py:707-716): right features arrive rows-form and are warped by
+    the Pallas rows kernel (no layout cost), then s2d-packed; the 7-conv head
+    runs at 1/s resolution with the dilation schedule divided by s (same
+    full-res receptive field); the residual stays in s2d form."""
     scale: int = 3
     hidden: int = 72
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, left_s2d, right_full, disp, *, train: bool = False,
-                 max_disp: int = 0):
+    def __call__(self, left_s2d, right_rows, disp_s2d, disp_full, *,
+                 train: bool = False, max_disp: int = 0):
+        """left_s2d (B,h,w,r*r*C); right_rows (B,H,C,W) rows-form features;
+        disp_s2d (B,h,w,r*r) + disp_full (B,H,W) are the same disparity in
+        both layouts (the warp kernel samples along full-res rows, the conv
+        head runs in s2d).  Returns (pred_s2d, residual_s2d)."""
         r = self.scale
         h = self.hidden
         if max_disp > 0 and jax.default_backend() == "tpu":
-            from decnet_tpu.ops.pallas.warp import warp_by_disparity_fast
-            warped = warp_by_disparity_fast(right_full, disp, max_disp)
+            from decnet_tpu.ops.pallas.warp import warp_rows_fast
+            warped = rows_to_s2d(warp_rows_fast(right_rows, disp_full,
+                                                max_disp), r)
         else:
-            warped = warp_by_disparity(right_full, disp)
-        warped = space_to_depth(warped, r).astype(left_s2d.dtype)
-        disp_s2d = space_to_depth(disp[..., None], r).astype(left_s2d.dtype)
-        x = jnp.concatenate([left_s2d, warped, disp_s2d], axis=-1)
+            warped = space_to_depth(
+                warp_by_disparity(right_rows.transpose(0, 1, 3, 2),
+                                  disp_full), r)
+        warped = warped.astype(left_s2d.dtype)
+        x = jnp.concatenate([left_s2d, warped,
+                             disp_s2d.astype(left_s2d.dtype)], axis=-1)
         x = ConvUnit(h, 3, padding=1, dtype=self.dtype,
                      name="c0")(x, train=train)
         x = ConvUnit(h, 3, padding=1, dtype=self.dtype,
@@ -195,14 +207,15 @@ class RefinementS2D(nn.Module):
                      name="c5")(x, train=train)
         x = ConvUnit(r * r, 3, padding=1, relu=False, bn=False,
                      dtype=self.dtype, name="c6")(x, train=train)
-        residual = depth_to_space(x.astype(jnp.float32), r)[..., 0]
-        return disp + residual, residual
+        residual_s2d = x.astype(jnp.float32)
+        return disp_s2d + residual_s2d, residual_s2d
 
 
 class DetailHeadS2D(nn.Module):
     """Lost-detail head in s2d form (cf. DetailHead, submodule.py:347-372):
     both branches project to s*s*3 "RGB-per-phase" planes at 1/s resolution;
-    logits shuffle back to a full-res map."""
+    logits stay in s2d plane form (B,h,w,s*s) — callers shuffle to full res
+    only where a full-res map is genuinely needed."""
     scale: int = 3
     dtype: Any = jnp.float32
 
@@ -222,8 +235,7 @@ class DetailHeadS2D(nn.Module):
                      dtype=self.dtype, name="head0")(res, train=train)
         x = ConvUnit(r * r, 1, padding=0, relu=False, bn=True,
                      dtype=self.dtype, name="head1")(x, train=train)
-        logits = depth_to_space(x.astype(jnp.float32), r)[..., 0]
-        return logits, c, p
+        return x.astype(jnp.float32), c, p
 
 
 class DetailHead(nn.Module):

@@ -157,6 +157,40 @@ def depth_to_space(x: jax.Array, r: int) -> jax.Array:
     return x.reshape(B, h * r, w * r, c)
 
 
+def s2d_to_rows(x_s2d: jax.Array, r: int) -> jax.Array:
+    """s2d features (B,h,w,r*r*C) -> rows-form (B, H=h*r, C, W=w*r).
+
+    Rows-form is the native layout of the Pallas matching/warp kernels
+    (W on lanes, C on sublanes).  Going there straight from the extractor's
+    s2d output is ONE transpose; the naive route (depth_to_space to NHWC,
+    then a per-kernel NHWC->NCW transpose) costs two passes over a tensor
+    whose C=8 minor dim is 16x lane-padded — measured ~6 ms/call at the
+    flagship shape."""
+    B, h, w, RC = x_s2d.shape
+    C = RC // (r * r)
+    x = x_s2d.reshape(B, h, w, r, r, C)        # (B,h,w,i,j,C)
+    x = x.transpose(0, 1, 3, 5, 2, 4)          # (B,h,i,C,w,j)
+    return x.reshape(B, h * r, C, w * r)
+
+
+def rows_to_s2d(x_rows: jax.Array, r: int) -> jax.Array:
+    """Inverse of s2d_to_rows: (B,H,C,W) -> (B,H/r,W/r,r*r*C)."""
+    B, H, C, W = x_rows.shape
+    x = x_rows.reshape(B, H // r, r, C, W // r, r)   # (B,h,i,C,w,j)
+    x = x.transpose(0, 1, 4, 2, 5, 3)                # (B,h,w,i,j,C)
+    return x.reshape(B, H // r, W // r, r * r * C)
+
+
+def plane_to_s2d(m: jax.Array, r: int) -> jax.Array:
+    """Planar map (B,H,W) -> s2d plane (B,H/r,W/r,r*r), channel i*r+j."""
+    return space_to_depth(m[..., None], r)
+
+
+def s2d_to_plane(p: jax.Array, r: int) -> jax.Array:
+    """Inverse of plane_to_s2d: (B,h,w,r*r) -> (B,h*r,w*r)."""
+    return depth_to_space(p, r)[..., 0]
+
+
 def pixel_shuffle(x: jax.Array, r: int) -> jax.Array:
     """torch F.pixel_shuffle on NHWC: (B,H,W,r*r) -> (B,H*r,W*r,1), channel
     c = i*r+j lands at output offset (i, j)."""

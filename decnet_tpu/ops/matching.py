@@ -317,3 +317,73 @@ def _fused_vjp_bwd(max_disp, impl, res, gs):
 
 
 sparse_matching_with_var.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Rows-form fused matching — features already in the kernels' native layout
+# ---------------------------------------------------------------------------
+
+def _rows_to_nhwc(x):
+    """(B,H,C,W) -> (B,H,W,C)."""
+    return x.transpose(0, 1, 3, 2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def sparse_matching_with_var_rows(ref_rows, tar_rows, ref_mask, tar_mask,
+                                  max_disp: int, impl: str = "auto"):
+    """sparse_matching_with_var with features in rows-form (B,H,C,W).
+
+    Rows-form is the Pallas kernels' native layout — the caller converts the
+    extractor's s2d output once (layers.s2d_to_rows) instead of paying an
+    NHWC->NCW transpose inside every kernel call.  Semantics are identical to
+    sparse_matching_with_var on the transposed inputs."""
+    (out, var), _ = _fused_rows_vjp_fwd(ref_rows, tar_rows, ref_mask,
+                                        tar_mask, max_disp, impl)
+    return out, var
+
+
+def _fused_rows_moments(ref_rows, tar_rows, ref_mask, tar_mask, max_disp,
+                        impl):
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from decnet_tpu.ops.pallas import spamat as _k
+        return _k.moments_rows(ref_rows, tar_rows, ref_mask, tar_mask,
+                               max_disp)
+    return matching_moments(_rows_to_nhwc(ref_rows), _rows_to_nhwc(tar_rows),
+                            ref_mask, tar_mask, max_disp)
+
+
+def _fused_rows_vjp_fwd(ref_rows, tar_rows, ref_mask, tar_mask, max_disp,
+                        impl):
+    m, se, sed, sed2 = _fused_rows_moments(ref_rows, tar_rows, ref_mask,
+                                           tar_mask, max_disp, impl)
+    refm = ref_mask != 0
+    out = jnp.where(refm, (EPS + sed) / (EPS + se), 0.0)
+    svar = sed2 - 2.0 * out * sed + out * out * se
+    var = jnp.where(refm, (EPS + svar) / (EPS + se), 0.0)
+    sum_sim = jnp.where(refm, EPS + se, 0.0)
+    max_cost = jnp.where(refm, m, 0.0)
+    return (out, var), (ref_rows, tar_rows, ref_mask, tar_mask, out,
+                        sum_sim, max_cost)
+
+
+def _fused_rows_vjp_bwd(max_disp, impl, res, gs):
+    g_out, _ = gs  # variance is stop_gradient by contract
+    ref_rows, tar_rows, ref_mask, tar_mask, out, sum_sim, max_cost = res
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from decnet_tpu.ops.pallas import spamat as _k
+        gref, gtar = _k.spamat_backward_rows(
+            ref_rows, tar_rows, ref_mask, tar_mask, out, sum_sim, max_cost,
+            g_out, max_disp)
+    else:
+        gref, gtar = _spamat_bwd_xla(
+            _rows_to_nhwc(ref_rows), _rows_to_nhwc(tar_rows), ref_mask,
+            tar_mask, out, sum_sim, max_cost, g_out, max_disp)
+        gref, gtar = gref.transpose(0, 1, 3, 2), gtar.transpose(0, 1, 3, 2)
+    return gref, gtar, jnp.zeros_like(ref_mask), jnp.zeros_like(tar_mask)
+
+
+sparse_matching_with_var_rows.defvjp(_fused_rows_vjp_fwd, _fused_rows_vjp_bwd)

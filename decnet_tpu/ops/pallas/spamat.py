@@ -52,26 +52,24 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _rows(x):
-    """(B,H,W,C) -> (B*H, C, W); masks (B,H,W) -> (B*H, W) f32.
-
-    bf16 features pass through uncast (the kernels accumulate scores in f32
-    via preferred_element_type); anything else is cast to f32."""
-    if x.ndim == 4:
-        B, H, W, C = x.shape
-        if x.dtype not in (jnp.bfloat16, jnp.float32):
-            x = x.astype(jnp.float32)
-        return x.reshape(B * H, W, C).transpose(0, 2, 1)
-    B, H, W = x.shape
-    return x.astype(jnp.float32).reshape(B * H, W)
+def _cast_feat(x):
+    """bf16 passes through (f32 accumulation happens in-kernel); anything
+    else is cast to f32."""
+    if x.dtype not in (jnp.bfloat16, jnp.float32):
+        x = x.astype(jnp.float32)
+    return x
 
 
-def _pad_rows(x, r_to, w_to, w_axis, left=0):
-    """Pad rows to r_to and the W axis to total width w_to (left zeros for the
-    disparity band, remainder on the right)."""
+def _pad4(x, h_to, w_to, left=0):
+    """Pad a 4D rows-form (B,H,C,W) or 3D (B,H,W) array: H to h_to, W to
+    total w_to (left zeros for the disparity band, remainder right).
+
+    The kernels stay 4D on purpose: flattening (B,H,...,W) to (B*H,...,W)
+    with unaligned H/W forces a full tiling-relayout copy in XLA (measured
+    ~4.6 ms at the flagship shape); padding alone is a cheap fused op."""
     pads = [(0, 0)] * x.ndim
-    pads[0] = (0, r_to - x.shape[0])
-    pads[w_axis] = (left, w_to - left - x.shape[w_axis])
+    pads[1] = (0, h_to - x.shape[1])
+    pads[-1] = (left, w_to - left - x.shape[-1])
     return jnp.pad(x, pads)
 
 
@@ -87,16 +85,17 @@ def _moments_kernel(ref_ref, rm_ref, tar_ref, tm_ref,
     # spatially clustered, so whole (rows x query-tile) blocks are empty and
     # skip all compute.  Every consumer gates the moment maps by ref_mask
     # (ops/matching.py), so zero-filled outputs for an empty tile are exact.
+    # Blocks are 4D (1, RB, [C,] TW) — grid (B, H-blocks, W-blocks).
     any_query = jnp.sum(rm_ref[...]) > 0
-    t = pl.program_id(1)
+    t = pl.program_id(2)
 
     @pl.when(any_query)
     def _compute():
         dp = max_disp - 1
         kw = tw + dp
-        q = ref_ref[...]                       # (RB, C, TW)
-        k = tar_ref[:, :, pl.ds(t * tw, kw)]   # (RB, C, KW) from full row
-        km = tm_ref[:, pl.ds(t * tw, kw)]      # (RB, KW)
+        q = ref_ref[0]                            # (RB, C, TW)
+        k = tar_ref[0, :, :, pl.ds(t * tw, kw)]   # (RB, C, KW) from full row
+        km = tm_ref[0, :, pl.ds(t * tw, kw)]      # (RB, KW)
 
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32,
@@ -112,10 +111,10 @@ def _moments_kernel(ref_ref, rm_ref, tar_ref, tm_ref,
         m_c = jnp.maximum(m, EPS)           # SM_kernel.cu:45 max-cost floor
         e = jnp.where(valid, jnp.exp(s2 - m_c[:, :, None]), 0.0)
         d_f = d.astype(jnp.float32)[None]
-        m_ref[...] = m_c
-        se_ref[...] = jnp.sum(e, axis=2)
-        sed_ref[...] = jnp.sum(e * d_f, axis=2)
-        sed2_ref[...] = jnp.sum(e * d_f * d_f, axis=2)
+        m_ref[0] = m_c
+        se_ref[0] = jnp.sum(e, axis=2)
+        sed_ref[0] = jnp.sum(e * d_f, axis=2)
+        sed2_ref[0] = jnp.sum(e * d_f * d_f, axis=2)
 
     @pl.when(jnp.logical_not(any_query))
     def _skip():
@@ -127,35 +126,37 @@ def _moments_kernel(ref_ref, rm_ref, tar_ref, tm_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("max_disp", "tw", "rb"))
-def moments(ref, tar, ref_mask, tar_mask, max_disp: int,
-            tw: int = DEF_TW, rb: int = DEF_RB):
-    """Banded online-softmax moments (m, se, sed, sed2), each (B,H,W) f32."""
-    B, H, W, C = ref.shape
-    R = B * H
+def moments_rows(ref, tar, ref_mask, tar_mask, max_disp: int,
+                 tw: int = DEF_TW, rb: int = DEF_RB):
+    """Banded online-softmax moments from rows-form features.
+
+    ref/tar (B,H,C,W) — the kernels' native layout (see layers.s2d_to_rows);
+    masks (B,H,W).  Returns (m, se, sed, sed2), each (B,H,W) f32."""
+    B, H, C, W = ref.shape
     dp = max_disp - 1
-    Rp = _ceil_to(max(R, rb), rb)
+    Hp = _ceil_to(max(H, rb), rb)
     Wp = _ceil_to(max(W, tw), tw)
 
-    refr = _pad_rows(_rows(ref), Rp, Wp, 2)
-    rmr = _pad_rows(_rows(ref_mask), Rp, Wp, 1)
-    tarr = _pad_rows(_rows(tar), Rp, Wp + dp, 2, left=dp)
-    tmr = _pad_rows(_rows(tar_mask), Rp, Wp + dp, 1, left=dp)
+    refr = _pad4(_cast_feat(ref), Hp, Wp)
+    rmr = _pad4(ref_mask.astype(jnp.float32), Hp, Wp)
+    tarr = _pad4(_cast_feat(tar), Hp, Wp + dp, left=dp)
+    tmr = _pad4(tar_mask.astype(jnp.float32), Hp, Wp + dp, left=dp)
 
-    grid = (Rp // rb, Wp // tw)
-    out_spec = pl.BlockSpec((rb, tw), lambda r, t: (r, t),
+    grid = (B, Hp // rb, Wp // tw)
+    out_spec = pl.BlockSpec((1, rb, tw), lambda b, r, t: (b, r, t),
                             memory_space=pltpu.VMEM)
-    shp = jax.ShapeDtypeStruct((Rp, Wp), jnp.float32)
+    shp = jax.ShapeDtypeStruct((B, Hp, Wp), jnp.float32)
     m, se, sed, sed2 = pl.pallas_call(
         functools.partial(_moments_kernel, max_disp=max_disp, tw=tw),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((rb, C, tw), lambda r, t: (r, 0, t),
+            pl.BlockSpec((1, rb, C, tw), lambda b, r, t: (b, r, 0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, tw), lambda r, t: (r, t),
+            pl.BlockSpec((1, rb, tw), lambda b, r, t: (b, r, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, C, Wp + dp), lambda r, t: (r, 0, 0),
+            pl.BlockSpec((1, rb, C, Wp + dp), lambda b, r, t: (b, r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, Wp + dp), lambda r, t: (r, 0),
+            pl.BlockSpec((1, rb, Wp + dp), lambda b, r, t: (b, r, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(out_spec,) * 4,
@@ -164,8 +165,15 @@ def moments(ref, tar, ref_mask, tar_mask, max_disp: int,
     )(refr, rmr, tarr, tmr)
 
     def unpack(x):
-        return x[:R, :W].reshape(B, H, W)
+        return x[:, :H, :W]
     return unpack(m), unpack(se), unpack(sed), unpack(sed2)
+
+
+def moments(ref, tar, ref_mask, tar_mask, max_disp: int,
+            tw: int = DEF_TW, rb: int = DEF_RB):
+    """NHWC wrapper over moments_rows (transposes features to rows-form)."""
+    return moments_rows(ref.transpose(0, 1, 3, 2), tar.transpose(0, 1, 3, 2),
+                        ref_mask, tar_mask, max_disp, tw, rb)
 
 
 def spamat_forward(ref, tar, ref_mask, tar_mask, max_disp: int):
@@ -197,17 +205,17 @@ def _dref_kernel(ref_ref, tar_ref, tm_ref, mc_ref, out_ref, w_ref,
     (SM_kernel.cu:143-195). w_ref holds g/sum_sim pre-gated by ref_mask."""
     # Tile skip (cf. the forward kernel): w is g/sum_sim pre-gated by
     # ref_mask, so an all-zero w block contributes nothing.
-    w = w_ref[...]
+    w = w_ref[0]
     any_query = jnp.sum(jnp.abs(w)) > 0
-    t = pl.program_id(1)
+    t = pl.program_id(2)
 
     @pl.when(any_query)
     def _compute():
         dp = max_disp - 1
         kw = tw + dp
-        q = ref_ref[...]
-        k = tar_ref[:, :, pl.ds(t * tw, kw)]
-        km = tm_ref[:, pl.ds(t * tw, kw)]
+        q = ref_ref[0]
+        k = tar_ref[0, :, :, pl.ds(t * tw, kw)]
+        km = tm_ref[0, :, pl.ds(t * tw, kw)]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32,
                                 precision=_prec(q.dtype))
@@ -219,11 +227,11 @@ def _dref_kernel(ref_ref, tar_ref, tm_ref, mc_ref, out_ref, w_ref,
         # max_cost is 0, so exp(s) can overflow to inf and inf*0 -> NaN if
         # only multiplied out afterwards. where() discards the inf safely.
         valid = band[None] & (km[:, None, :] > 0) & (w[:, :, None] != 0)
-        e = jnp.where(valid, jnp.exp(s - mc_ref[...][:, :, None]), 0.0)
-        wq = e * (d.astype(jnp.float32)[None] - out_ref[...][:, :, None])
+        e = jnp.where(valid, jnp.exp(s - mc_ref[0][:, :, None]), 0.0)
+        wq = e * (d.astype(jnp.float32)[None] - out_ref[0][:, :, None])
         wq = wq * w[:, :, None]
         # (RB,C,KW) x (RB,TW,KW) -> (RB,C,TW)
-        gref_ref[...] = jax.lax.dot_general(
+        gref_ref[0] = jax.lax.dot_general(
             k, wq.astype(k.dtype), (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32, precision=_prec(k.dtype))
 
@@ -237,11 +245,11 @@ def _dtar_kernel(tar_ref, tm_ref, ref_ref, mc_ref, out_ref, w_ref,
     """grad_tar[k] = sum_q e(q,k)*(d-out[q])*(g/sum_sim)[q]*ref[q]
     over q in [k, k+max_disp) (SM_kernel.cu:300-355). Query-side arrays are
     right-padded by max_disp-1; w_ref is g/sum_sim gated by ref_mask."""
-    t = pl.program_id(1)
+    t = pl.program_id(2)
     dp = max_disp - 1
     qw = tw + dp
-    wq = w_ref[:, pl.ds(t * tw, qw)]
-    tm = tm_ref[...]
+    wq = w_ref[0, :, pl.ds(t * tw, qw)]
+    tm = tm_ref[0]
     # Tile skip: no masked key in this tile, or no contributing query in the
     # window (wq is g/sum_sim gated by ref_mask). gtar is multiplied by
     # tar_mask by the caller, so zeros are exact either way.
@@ -249,10 +257,10 @@ def _dtar_kernel(tar_ref, tm_ref, ref_ref, mc_ref, out_ref, w_ref,
 
     @pl.when(any_work)
     def _compute():
-        k = tar_ref[...]                      # (RB, C, TW) keys (real coords)
-        qs = ref_ref[:, :, pl.ds(t * tw, qw)]     # queries window
-        mc = mc_ref[:, pl.ds(t * tw, qw)]
-        ot = out_ref[:, pl.ds(t * tw, qw)]
+        k = tar_ref[0]                        # (RB, C, TW) keys (real coords)
+        qs = ref_ref[0, :, :, pl.ds(t * tw, qw)]  # queries window
+        mc = mc_ref[0, :, pl.ds(t * tw, qw)]
+        ot = out_ref[0, :, pl.ds(t * tw, qw)]
         s = jax.lax.dot_general(k, qs, (((1,), (1,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32,
                                 precision=_prec(k.dtype))  # (RB,TW,QW)
@@ -268,7 +276,7 @@ def _dtar_kernel(tar_ref, tm_ref, ref_ref, mc_ref, out_ref, w_ref,
         e = jnp.where(valid, jnp.exp(s - mc[:, None, :]), 0.0)
         wk = e * (d.astype(jnp.float32)[None] - ot[:, None, :]) \
             * wq[:, None, :]
-        gtar_ref[...] = jax.lax.dot_general(
+        gtar_ref[0] = jax.lax.dot_general(
             qs, wk.astype(qs.dtype), (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32, precision=_prec(qs.dtype))
 
@@ -278,83 +286,82 @@ def _dtar_kernel(tar_ref, tm_ref, ref_ref, mc_ref, out_ref, w_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("max_disp", "tw", "rb"))
-def _spamat_backward_impl(ref, tar, ref_mask, tar_mask, out, sum_sim,
-                          max_cost, g, max_disp: int,
-                          tw: int = DEF_TW, rb: int = DEF_RB):
-    B, H, W, C = ref.shape
-    R = B * H
+def _spamat_backward_rows_impl(ref, tar, ref_mask, tar_mask, out, sum_sim,
+                               max_cost, g, max_disp: int,
+                               tw: int = DEF_TW, rb: int = DEF_RB):
+    """Backward from rows-form features (B,H,C,W); grads in rows-form."""
+    B, H, C, W = ref.shape
     dp = max_disp - 1
-    Rp = _ceil_to(max(R, rb), rb)
+    Hp = _ceil_to(max(H, rb), rb)
     Wp = _ceil_to(max(W, tw), tw)
 
     refm = ref_mask != 0
     w_map = jnp.where(refm & (sum_sim != 0),
                       g / jnp.where(sum_sim != 0, sum_sim, 1.0), 0.0)
+    f32 = jnp.float32
 
-    refr = _pad_rows(_rows(ref), Rp, Wp, 2)
-    tarr_l = _pad_rows(_rows(tar), Rp, Wp + dp, 2, left=dp)
-    tmr_l = _pad_rows(_rows(tar_mask), Rp, Wp + dp, 1, left=dp)
-    mcr = _pad_rows(_rows(max_cost), Rp, Wp, 1)
-    outr = _pad_rows(_rows(out), Rp, Wp, 1)
-    wr = _pad_rows(_rows(w_map), Rp, Wp, 1)
+    refr = _pad4(_cast_feat(ref), Hp, Wp)
+    tarr_l = _pad4(_cast_feat(tar), Hp, Wp + dp, left=dp)
+    tmr_l = _pad4(tar_mask.astype(f32), Hp, Wp + dp, left=dp)
+    mcr = _pad4(max_cost.astype(f32), Hp, Wp)
+    outr = _pad4(out.astype(f32), Hp, Wp)
+    wr = _pad4(w_map.astype(f32), Hp, Wp)
 
-    grid = (Rp // rb, Wp // tw)
-    row_spec = pl.BlockSpec((rb, tw), lambda r, t: (r, t),
+    grid = (B, Hp // rb, Wp // tw)
+    row_spec = pl.BlockSpec((1, rb, tw), lambda b, r, t: (b, r, t),
                             memory_space=pltpu.VMEM)
-    full_feat_l = pl.BlockSpec((rb, C, Wp + dp), lambda r, t: (r, 0, 0),
-                               memory_space=pltpu.VMEM)
-    full_row_l = pl.BlockSpec((rb, Wp + dp), lambda r, t: (r, 0),
-                              memory_space=pltpu.VMEM)
+    feat_spec = pl.BlockSpec((1, rb, C, tw), lambda b, r, t: (b, r, 0, t),
+                             memory_space=pltpu.VMEM)
+    full_feat = pl.BlockSpec((1, rb, C, Wp + dp), lambda b, r, t: (b, r, 0, 0),
+                             memory_space=pltpu.VMEM)
+    full_row = pl.BlockSpec((1, rb, Wp + dp), lambda b, r, t: (b, r, 0),
+                            memory_space=pltpu.VMEM)
 
     gref = pl.pallas_call(
         functools.partial(_dref_kernel, max_disp=max_disp, tw=tw),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((rb, C, tw), lambda r, t: (r, 0, t),
-                         memory_space=pltpu.VMEM),
-            full_feat_l, full_row_l, row_spec, row_spec, row_spec,
-        ],
-        out_specs=pl.BlockSpec((rb, C, tw), lambda r, t: (r, 0, t),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Rp, C, Wp), jnp.float32),
+        in_specs=[feat_spec, full_feat, full_row, row_spec, row_spec,
+                  row_spec],
+        out_specs=feat_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hp, C, Wp), jnp.float32),
         interpret=_interpret(),
     )(refr, tarr_l, tmr_l, mcr, outr, wr)
 
     # dTar: query-side arrays right-padded by dp
-    refr_r = _pad_rows(_rows(ref), Rp, Wp + dp, 2)
-    mcr_r = _pad_rows(_rows(max_cost), Rp, Wp + dp, 1)
-    outr_r = _pad_rows(_rows(out), Rp, Wp + dp, 1)
-    wr_r = _pad_rows(_rows(w_map), Rp, Wp + dp, 1)
-    tarr = _pad_rows(_rows(tar), Rp, Wp, 2)
+    refr_r = _pad4(_cast_feat(ref), Hp, Wp + dp)
+    mcr_r = _pad4(max_cost.astype(f32), Hp, Wp + dp)
+    outr_r = _pad4(out.astype(f32), Hp, Wp + dp)
+    wr_r = _pad4(w_map.astype(f32), Hp, Wp + dp)
+    tarr = _pad4(_cast_feat(tar), Hp, Wp)
 
-    full_feat_r = pl.BlockSpec((rb, C, Wp + dp), lambda r, t: (r, 0, 0),
-                               memory_space=pltpu.VMEM)
-    full_row_r = pl.BlockSpec((rb, Wp + dp), lambda r, t: (r, 0),
-                              memory_space=pltpu.VMEM)
     gtar = pl.pallas_call(
         functools.partial(_dtar_kernel, max_disp=max_disp, tw=tw),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((rb, C, tw), lambda r, t: (r, 0, t),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, tw), lambda r, t: (r, t),
-                         memory_space=pltpu.VMEM),
-            full_feat_r, full_row_r, full_row_r, full_row_r,
-        ],
-        out_specs=pl.BlockSpec((rb, C, tw), lambda r, t: (r, 0, t),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Rp, C, Wp), jnp.float32),
+        in_specs=[feat_spec, row_spec, full_feat, full_row, full_row,
+                  full_row],
+        out_specs=feat_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hp, C, Wp), jnp.float32),
         interpret=_interpret(),
-    )(tarr, _pad_rows(_rows(tar_mask), Rp, Wp, 1), refr_r, mcr_r, outr_r,
+    )(tarr, _pad4(tar_mask.astype(f32), Hp, Wp), refr_r, mcr_r, outr_r,
       wr_r)
 
     def unpack(x):
-        return x[:R].transpose(0, 2, 1)[:, :W].reshape(B, H, W, C)
-    gtar = unpack(gtar) * (tar_mask != 0)[..., None]
+        return x[:, :H, :, :W]
+    gtar = unpack(gtar) * (tar_mask != 0)[:, :, None, :]
     return unpack(gref).astype(ref.dtype), gtar.astype(tar.dtype)
+
+
+def spamat_backward_rows(ref, tar, ref_mask, tar_mask, out, sum_sim,
+                         max_cost, g, max_disp: int):
+    """Rows-form backward: ref/tar and the returned grads are (B,H,C,W)."""
+    return _spamat_backward_rows_impl(ref, tar, ref_mask, tar_mask, out,
+                                      sum_sim, max_cost, g, max_disp)
 
 
 def spamat_backward(ref, tar, ref_mask, tar_mask, out, sum_sim, max_cost, g,
                     max_disp: int):
-    return _spamat_backward_impl(ref, tar, ref_mask, tar_mask, out, sum_sim,
-                                 max_cost, g, max_disp)
+    """NHWC wrapper over the rows-form backward."""
+    gref, gtar = _spamat_backward_rows_impl(
+        ref.transpose(0, 1, 3, 2), tar.transpose(0, 1, 3, 2), ref_mask,
+        tar_mask, out, sum_sim, max_cost, g, max_disp)
+    return gref.transpose(0, 1, 3, 2), gtar.transpose(0, 1, 3, 2)

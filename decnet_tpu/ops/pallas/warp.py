@@ -40,12 +40,14 @@ def _ceil_to(x, m):
 
 
 def _hwarp_kernel(feat_ref, x_ref, out_ref, *, band: int, tw: int):
-    """feat (RB, C, Wpad) full row (left-padded by `band`); x (RB, TW)
-    unnormalised sample positions in real column coords; out (RB, C, TW)."""
-    t = pl.program_id(1)
+    """feat (1, RB, C, Wpad) full row (left-padded by `band`); x (1, RB, TW)
+    unnormalised sample positions in real column coords; out (1, RB, C, TW).
+    Blocks are 4D — grid (B, H-blocks, W-blocks); flattening B*H would force
+    a tiling-relayout copy in XLA (see spamat._pad4)."""
+    t = pl.program_id(2)
     kw = tw + band + NEG_MARGIN + 2
-    k = feat_ref[:, :, pl.ds(t * tw, kw)]            # (RB, C, KW)
-    x = x_ref[...]                                   # (RB, TW)
+    k = feat_ref[0, :, :, pl.ds(t * tw, kw)]         # (RB, C, KW)
+    x = x_ref[0]                                     # (RB, TW)
     x0 = jnp.floor(x)
     frac = x - x0
     # padded key column j corresponds to real column t*tw + j - band
@@ -60,50 +62,55 @@ def _hwarp_kernel(feat_ref, x_ref, out_ref, *, band: int, tw: int):
     # outside [0, W) land on zeros.
     prec = (jax.lax.Precision.HIGHEST if k.dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)  # HIGHEST+bf16 crashes Mosaic
-    out_ref[...] = jax.lax.dot_general(
+    out_ref[0] = jax.lax.dot_general(
         k, p.astype(k.dtype), (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
         precision=prec).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("max_disp", "tw", "rb"))
-def _hwarp_rows(feat, x, max_disp: int, tw: int = DEF_TW, rb: int = DEF_RB):
-    """feat (R, C, W), x (R, W) sample positions -> (R, C, W) f32."""
-    R, C, W = feat.shape
-    band = max_disp + 2
-    Rp = _ceil_to(max(R, rb), rb)
-    Wp = _ceil_to(max(W, tw), tw)
-    fpad = jnp.pad(feat, ((0, Rp - R), (0, 0),
-                          (band, Wp - W + NEG_MARGIN + 2)))
-    xpad = jnp.pad(x, ((0, Rp - R), (0, Wp - W)), constant_values=-1e6)
+@functools.partial(jax.jit, static_argnames=("max_disp", "tw", "rb",
+                                              "out_dtype"))
+def _hwarp_rows(feat, x, max_disp: int, tw: int = DEF_TW, rb: int = DEF_RB,
+                out_dtype=jnp.float32):
+    """feat (B, H, C, W), x (B, H, W) sample positions -> (B, H, C, W)
+    out_dtype.
 
-    grid = (Rp // rb, Wp // tw)
+    The kernel accumulates in f32 and writes out_dtype directly — emitting
+    bf16 here saves a full-resolution convert_element_type pass (~3 ms at
+    the flagship shape) versus casting afterwards."""
+    B, H, C, W = feat.shape
+    band = max_disp + 2
+    Hp = _ceil_to(max(H, rb), rb)
+    Wp = _ceil_to(max(W, tw), tw)
+    fpad = jnp.pad(feat, ((0, 0), (0, Hp - H), (0, 0),
+                          (band, Wp - W + NEG_MARGIN + 2)))
+    xpad = jnp.pad(x, ((0, 0), (0, Hp - H), (0, Wp - W)),
+                   constant_values=-1e6)
+
+    grid = (B, Hp // rb, Wp // tw)
     out = pl.pallas_call(
         functools.partial(_hwarp_kernel, band=band, tw=tw),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((rb, C, Wp + band + NEG_MARGIN + 2),
-                         lambda r, t: (r, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, tw), lambda r, t: (r, t),
+            pl.BlockSpec((1, rb, C, Wp + band + NEG_MARGIN + 2),
+                         lambda b, r, t: (b, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rb, tw), lambda b, r, t: (b, r, t),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((rb, C, tw), lambda r, t: (r, 0, t),
+        out_specs=pl.BlockSpec((1, rb, C, tw), lambda b, r, t: (b, r, 0, t),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Rp, C, Wp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, Hp, C, Wp), out_dtype),
         interpret=jax.default_backend() != "tpu",
     )(fpad, xpad)
-    return out[:R, :, :W]
+    return out[:, :H, :, :W]
 
 
-def _warp_pallas_fwd(img, disp, max_disp: int):
-    """img (B,H,W,C), disp (B,H,W) -> (B,H,W,C), torch-parity warp."""
-    B, H, W, C = img.shape
-    disp = jnp.clip(disp.astype(jnp.float32), -float(NEG_MARGIN),
-                    float(max_disp))
-    # vertical pre-interpolation: y' = y*H/(H-1) - 0.5 (in the input dtype —
-    # bf16 stays bf16, avoiding two full-res f32 conversions)
-    wdt = img.dtype if img.dtype in (jnp.bfloat16, jnp.float32) \
-        else jnp.float32
+def _vert_interp(img, wdt):
+    """Bilinear vertical resample y' = y*H/(H-1) - 0.5 along axis 1, zeros
+    padding — torch grid_sample's row coupling.  Layout-agnostic: works for
+    NHWC (B,H,W,C) and rows-form (B,H,C,W) alike (H is axis 1 in both)."""
+    H = img.shape[1]
     ys = jnp.arange(H, dtype=jnp.float32)
     yy = ys * (H / (H - 1.0)) - 0.5
     y0 = jnp.floor(yy).astype(jnp.int32)
@@ -112,24 +119,51 @@ def _warp_pallas_fwd(img, disp, max_disp: int):
     zrow = jnp.zeros_like(imgc[:, :1])
     up = jnp.concatenate([zrow, imgc[:, :-1]], axis=1)      # row y-1
     dn = jnp.concatenate([imgc[:, 1:], zrow], axis=1)       # row y+1
-    row_y0 = jnp.where((y0 == ys.astype(jnp.int32) - 1)[None, :, None, None],
-                       up, imgc)
-    row_y1_same = jnp.where((y0 == ys.astype(jnp.int32) - 1)
-                            [None, :, None, None], imgc, dn)
+    is_up = (y0 == ys.astype(jnp.int32) - 1)[None, :, None, None]
+    row_y0 = jnp.where(is_up, up, imgc)
+    row_y1_same = jnp.where(is_up, imgc, dn)
     # out-of-range rows (y0 < 0 or y0+1 > H-1) contribute zeros
     row_y0 = jnp.where((y0 >= 0)[None, :, None, None], row_y0,
                        jnp.zeros((), wdt))
     row_y1 = jnp.where((y0 + 1 <= H - 1)[None, :, None, None], row_y1_same,
                        jnp.zeros((), wdt))
-    vert = (row_y0 * (1 - wy1)[None, :, None, None]
+    return (row_y0 * (1 - wy1)[None, :, None, None]
             + row_y1 * wy1[None, :, None, None])
+
+
+def _warp_pallas_fwd(img, disp, max_disp: int):
+    """img (B,H,W,C), disp (B,H,W) -> (B,H,W,C), torch-parity warp."""
+    B, H, W, C = img.shape
+    disp = jnp.clip(disp.astype(jnp.float32), -float(NEG_MARGIN),
+                    float(max_disp))
+    # vertical pre-interpolation in the input dtype — bf16 stays bf16,
+    # avoiding two full-res f32 conversions
+    wdt = img.dtype if img.dtype in (jnp.bfloat16, jnp.float32) \
+        else jnp.float32
+    vert = _vert_interp(img, wdt)
 
     # horizontal banded warp
     xs = jnp.arange(W, dtype=jnp.float32)
     xcoord = (xs[None, None, :] - disp) * (W / (W - 1.0)) - 0.5
-    feat = vert.reshape(B * H, W, C).transpose(0, 2, 1)
-    out = _hwarp_rows(feat, xcoord.reshape(B * H, W), max_disp)
-    return out.transpose(0, 2, 1).reshape(B, H, W, C).astype(img.dtype)
+    out = _hwarp_rows(vert.transpose(0, 1, 3, 2), xcoord, max_disp,
+                      out_dtype=img.dtype)
+    return out.transpose(0, 1, 3, 2)
+
+
+def _warp_rows_fwd(img_rows, disp, max_disp: int):
+    """img_rows (B,H,C,W), disp (B,H,W) -> (B,H,C,W) in the input dtype.
+
+    Rows-form twin of _warp_pallas_fwd: the feature tensor is already in the
+    kernel's layout, so no transpose is paid on either side."""
+    B, H, C, W = img_rows.shape
+    disp = jnp.clip(disp.astype(jnp.float32), -float(NEG_MARGIN),
+                    float(max_disp))
+    wdt = img_rows.dtype if img_rows.dtype in (jnp.bfloat16, jnp.float32) \
+        else jnp.float32
+    vert = _vert_interp(img_rows, wdt)
+    xs = jnp.arange(W, dtype=jnp.float32)
+    xcoord = (xs[None, None, :] - disp) * (W / (W - 1.0)) - 0.5
+    return _hwarp_rows(vert, xcoord, max_disp, out_dtype=img_rows.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -151,3 +185,26 @@ def _fast_bwd(max_disp, res, g):
 
 
 warp_by_disparity_fast.defvjp(_fast_fwd, _fast_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def warp_rows_fast(img_rows, disp, max_disp: int):
+    """Gather-free disparity warp on rows-form features (B,H,C,W) — same
+    semantics as warp_by_disparity_fast on the NHWC-transposed input, with
+    zero layout cost on either side of the kernel."""
+    return _warp_rows_fwd(img_rows, disp, max_disp)
+
+
+def _rows_fast_fwd(img_rows, disp, max_disp):
+    return _warp_rows_fwd(img_rows, disp, max_disp), (img_rows, disp)
+
+
+def _rows_fast_bwd(max_disp, res, g):
+    img_rows, disp = res
+    _, vjp = jax.vjp(xla_warp.warp_by_disparity,
+                     img_rows.transpose(0, 1, 3, 2), disp)
+    gimg, gdisp = vjp(g.transpose(0, 1, 3, 2))
+    return gimg.transpose(0, 1, 3, 2), gdisp
+
+
+warp_rows_fast.defvjp(_rows_fast_fwd, _rows_fast_bwd)
