@@ -39,15 +39,25 @@ def _ceil_to(x, m):
     return -(-x // m) * m
 
 
-def _hwarp_kernel(feat_ref, x_ref, out_ref, *, band: int, tw: int):
-    """feat (1, RB, C, Wpad) full row (left-padded by `band`); x (1, RB, TW)
-    unnormalised sample positions in real column coords; out (1, RB, C, TW).
+def _hwarp_kernel(feat_ref, d_ref, out_ref, *, band: int, tw: int, W: int,
+                  max_disp: int):
+    """feat (1, RB, C, Wpad) full row (left-padded by `band` — the slice
+    start must stay lane-aligned for Mosaic); d (1, RB, TW) RAW disparities;
+    out (1, RB, C, TW).  The sample coordinate x = (col - clip(d)) * W/(W-1)
+    - 0.5 is computed in-kernel, saving three full-resolution elementwise
+    passes in XLA, and the output is written unpadded (the H/W grids may be
+    uneven; Pallas masks the ragged edge blocks).
     Blocks are 4D — grid (B, H-blocks, W-blocks); flattening B*H would force
     a tiling-relayout copy in XLA (see spamat._pad4)."""
     t = pl.program_id(2)
     kw = tw + band + NEG_MARGIN + 2
     k = feat_ref[0, :, :, pl.ds(t * tw, kw)]         # (RB, C, KW)
-    x = x_ref[0]                                     # (RB, TW)
+    d = jnp.clip(d_ref[0].astype(jnp.float32), -float(NEG_MARGIN),
+                 float(max_disp))                    # (RB, TW)
+    col = (t * tw
+           + jax.lax.broadcasted_iota(jnp.int32, (1, tw), 1)
+           ).astype(jnp.float32)  # Mosaic iota must be integer-typed
+    x = (col - d) * (W / (W - 1.0)) - 0.5
     x0 = jnp.floor(x)
     frac = x - x0
     # padded key column j corresponds to real column t*tw + j - band
@@ -70,26 +80,27 @@ def _hwarp_kernel(feat_ref, x_ref, out_ref, *, band: int, tw: int):
 
 @functools.partial(jax.jit, static_argnames=("max_disp", "tw", "rb",
                                               "out_dtype"))
-def _hwarp_rows(feat, x, max_disp: int, tw: int = DEF_TW, rb: int = DEF_RB,
+def _hwarp_rows(feat, disp, max_disp: int, tw: int = DEF_TW, rb: int = DEF_RB,
                 out_dtype=jnp.float32):
-    """feat (B, H, C, W), x (B, H, W) sample positions -> (B, H, C, W)
-    out_dtype.
+    """feat (B, H, C, W), disp (B, H, W) raw disparities -> (B, H, C, W)
+    out_dtype; the torch-parity coordinate transform + clip to
+    [-NEG_MARGIN, max_disp] happens inside the kernel.
 
     The kernel accumulates in f32 and writes out_dtype directly — emitting
     bf16 here saves a full-resolution convert_element_type pass (~3 ms at
-    the flagship shape) versus casting afterwards."""
+    the flagship shape) versus casting afterwards.  Only the feature row is
+    padded (one fused pad op); disparities go in and the warped rows come
+    out unpadded via ragged-edge grid blocks."""
     B, H, C, W = feat.shape
     band = max_disp + 2
-    Hp = _ceil_to(max(H, rb), rb)
     Wp = _ceil_to(max(W, tw), tw)
-    fpad = jnp.pad(feat, ((0, 0), (0, Hp - H), (0, 0),
+    fpad = jnp.pad(feat, ((0, 0), (0, 0), (0, 0),
                           (band, Wp - W + NEG_MARGIN + 2)))
-    xpad = jnp.pad(x, ((0, 0), (0, Hp - H), (0, Wp - W)),
-                   constant_values=-1e6)
 
-    grid = (B, Hp // rb, Wp // tw)
+    grid = (B, -(-H // rb), -(-W // tw))
     out = pl.pallas_call(
-        functools.partial(_hwarp_kernel, band=band, tw=tw),
+        functools.partial(_hwarp_kernel, band=band, tw=tw, W=W,
+                          max_disp=max_disp),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, rb, C, Wp + band + NEG_MARGIN + 2),
@@ -100,10 +111,10 @@ def _hwarp_rows(feat, x, max_disp: int, tw: int = DEF_TW, rb: int = DEF_RB,
         ],
         out_specs=pl.BlockSpec((1, rb, C, tw), lambda b, r, t: (b, r, 0, t),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Hp, C, Wp), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H, C, W), out_dtype),
         interpret=jax.default_backend() != "tpu",
-    )(fpad, xpad)
-    return out[:, :H, :, :W]
+    )(fpad, disp)
+    return out
 
 
 def _vert_interp(img, wdt):
@@ -133,19 +144,13 @@ def _vert_interp(img, wdt):
 
 def _warp_pallas_fwd(img, disp, max_disp: int):
     """img (B,H,W,C), disp (B,H,W) -> (B,H,W,C), torch-parity warp."""
-    B, H, W, C = img.shape
-    disp = jnp.clip(disp.astype(jnp.float32), -float(NEG_MARGIN),
-                    float(max_disp))
     # vertical pre-interpolation in the input dtype — bf16 stays bf16,
     # avoiding two full-res f32 conversions
     wdt = img.dtype if img.dtype in (jnp.bfloat16, jnp.float32) \
         else jnp.float32
     vert = _vert_interp(img, wdt)
-
-    # horizontal banded warp
-    xs = jnp.arange(W, dtype=jnp.float32)
-    xcoord = (xs[None, None, :] - disp) * (W / (W - 1.0)) - 0.5
-    out = _hwarp_rows(vert.transpose(0, 1, 3, 2), xcoord, max_disp,
+    # horizontal banded warp; clip + coordinate transform happen in-kernel
+    out = _hwarp_rows(vert.transpose(0, 1, 3, 2), disp, max_disp,
                       out_dtype=img.dtype)
     return out.transpose(0, 1, 3, 2)
 
@@ -155,15 +160,10 @@ def _warp_rows_fwd(img_rows, disp, max_disp: int):
 
     Rows-form twin of _warp_pallas_fwd: the feature tensor is already in the
     kernel's layout, so no transpose is paid on either side."""
-    B, H, C, W = img_rows.shape
-    disp = jnp.clip(disp.astype(jnp.float32), -float(NEG_MARGIN),
-                    float(max_disp))
     wdt = img_rows.dtype if img_rows.dtype in (jnp.bfloat16, jnp.float32) \
         else jnp.float32
     vert = _vert_interp(img_rows, wdt)
-    xs = jnp.arange(W, dtype=jnp.float32)
-    xcoord = (xs[None, None, :] - disp) * (W / (W - 1.0)) - 0.5
-    return _hwarp_rows(vert, xcoord, max_disp, out_dtype=img_rows.dtype)
+    return _hwarp_rows(vert, disp, max_disp, out_dtype=img_rows.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
