@@ -109,12 +109,19 @@ def _moments_kernel(ref_ref, rm_ref, tar_ref, tm_ref,
         s2 = jnp.where(valid, s, _NEG)
         m = jnp.max(s2, axis=2)
         m_c = jnp.maximum(m, EPS)           # SM_kernel.cu:45 max-cost floor
-        e = jnp.where(valid, jnp.exp(s2 - m_c[:, :, None]), 0.0)
+        # exp(_NEG - m_c) underflows to exactly 0, so no second select is
+        # needed to zero the invalid lanes.  (Folding the three band
+        # reductions into an MXU matvec via d = b - kj was tried and measured
+        # SLOWER: 6.6-11 ms vs 5.6 ms at the stage-3 shape, both with the
+        # moments on lanes at HIGHEST and on sublanes — the VPU reductions
+        # fuse with exp, the matmul forces e to materialize.)
+        e = jnp.exp(s2 - m_c[:, :, None])
         d_f = d.astype(jnp.float32)[None]
         m_ref[0] = m_c
         se_ref[0] = jnp.sum(e, axis=2)
-        sed_ref[0] = jnp.sum(e * d_f, axis=2)
-        sed2_ref[0] = jnp.sum(e * d_f * d_f, axis=2)
+        ed = e * d_f
+        sed_ref[0] = jnp.sum(ed, axis=2)
+        sed2_ref[0] = jnp.sum(ed * d_f, axis=2)
 
     @pl.when(jnp.logical_not(any_query))
     def _skip():

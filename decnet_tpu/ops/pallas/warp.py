@@ -31,8 +31,15 @@ from jax.experimental.pallas import tpu as pltpu
 from decnet_tpu.ops import warp as xla_warp
 
 DEF_TW = 128
-DEF_RB = 8
+DEF_RB = 16
 NEG_MARGIN = 16  # how far negative disparities are honoured
+
+
+def _pick_tiles(W: int):
+    """Tile-sweep result (scripts/sweep_tiles.py, stage-3 shape 540x972
+    D=216): (256,16) beats (128,8) 2.82 vs 3.91 ms; narrower stages keep
+    tw=128 so the ceil-to-tw width padding stays small."""
+    return (256 if W >= 768 else DEF_TW), DEF_RB
 
 
 def _ceil_to(x, m):
@@ -58,16 +65,13 @@ def _hwarp_kernel(feat_ref, d_ref, out_ref, *, band: int, tw: int, W: int,
            + jax.lax.broadcasted_iota(jnp.int32, (1, tw), 1)
            ).astype(jnp.float32)  # Mosaic iota must be integer-typed
     x = (col - d) * (W / (W - 1.0)) - 0.5
-    x0 = jnp.floor(x)
-    frac = x - x0
-    # padded key column j corresponds to real column t*tw + j - band
+    # padded key column j corresponds to real column t*tw + j - band.
+    # Bilinear taps as a tent: weight(j) = max(0, 1 - |j_real - x|) equals the
+    # (1-frac, frac) one-hot pair but needs no floor/int-cast/compares — the
+    # kernel is VPU-bound on exactly this (RB,TW,KW) build.
     kj = jax.lax.broadcasted_iota(jnp.int32, (tw, kw), 1)
-    real_col = t * tw + kj - band                    # (TW, KW)
-    x0i = x0.astype(jnp.int32)
-    p = (jnp.where(real_col[None] == x0i[:, :, None], 1.0 - frac[:, :, None],
-                   0.0)
-         + jnp.where(real_col[None] == (x0i + 1)[:, :, None],
-                     frac[:, :, None], 0.0))
+    real_col = (t * tw - band + kj).astype(jnp.float32)  # (TW, KW)
+    p = jnp.maximum(0.0, 1.0 - jnp.abs(real_col[None] - x[:, :, None]))
     # zeros padding handled by the zero-padded feature row itself; taps
     # outside [0, W) land on zeros.
     prec = (jax.lax.Precision.HIGHEST if k.dtype == jnp.float32
@@ -150,8 +154,9 @@ def _warp_pallas_fwd(img, disp, max_disp: int):
         else jnp.float32
     vert = _vert_interp(img, wdt)
     # horizontal banded warp; clip + coordinate transform happen in-kernel
+    tw, rb = _pick_tiles(img.shape[2])
     out = _hwarp_rows(vert.transpose(0, 1, 3, 2), disp, max_disp,
-                      out_dtype=img.dtype)
+                      tw=tw, rb=rb, out_dtype=img.dtype)
     return out.transpose(0, 1, 3, 2)
 
 
@@ -163,7 +168,9 @@ def _warp_rows_fwd(img_rows, disp, max_disp: int):
     wdt = img_rows.dtype if img_rows.dtype in (jnp.bfloat16, jnp.float32) \
         else jnp.float32
     vert = _vert_interp(img_rows, wdt)
-    return _hwarp_rows(vert, disp, max_disp, out_dtype=img_rows.dtype)
+    tw, rb = _pick_tiles(img_rows.shape[3])
+    return _hwarp_rows(vert, disp, max_disp, tw=tw, rb=rb,
+                       out_dtype=img_rows.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

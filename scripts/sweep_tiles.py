@@ -19,8 +19,8 @@ rng = np.random.RandomState(0)
 ref = jnp.asarray(rng.randn(B, H, W, C), jnp.bfloat16)
 tar = jnp.asarray(rng.randn(B, H, W, C), jnp.bfloat16)
 msk = jnp.asarray((rng.rand(B, H, W) < 0.3), jnp.float32)
-feat_cw = jnp.asarray(rng.randn(R, C, W), jnp.bfloat16)
-xc = jnp.asarray(rng.rand(R, W) * (W - 1), jnp.float32)
+feat_rows = jnp.asarray(rng.randn(B, H, C, W), jnp.bfloat16)
+disp = jnp.asarray(rng.rand(B, H, W) * (D - 1), jnp.float32)
 
 
 def timeit(name, fn, carry0, iters=20):
@@ -57,7 +57,7 @@ print("== hwarp (CW layout, stage3 shape) ==", flush=True)
 for tw in (128, 256, 512):
     for rb in (8, 16, 32):
         def f(carry, tw=tw, rb=rb):
-            ff = feat_cw + carry.astype(jnp.bfloat16) * 0
-            o = _hwarp_rows(ff, xc, D, tw=tw, rb=rb)
-            return o.mean()
+            ff = feat_rows + carry.astype(jnp.bfloat16) * 0
+            o = _hwarp_rows(ff, disp, D, tw=tw, rb=rb)
+            return o.astype(jnp.float32).mean()
         timeit(f"hwarp tw={tw} rb={rb}", f, jnp.float32(0))
