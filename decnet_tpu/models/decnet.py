@@ -31,7 +31,7 @@ from decnet_tpu.nn.heads import (CostRegNet, DynamicUpsampling, SoftAttention,
                                  RefinementS2D, DetailHeadS2D)
 from decnet_tpu.nn.layers import (depth_to_space, s2d_to_rows, plane_to_s2d,
                                   s2d_to_plane)
-from decnet_tpu.ops.cost_volume import build_cost_volume
+from decnet_tpu.ops.cost_volume import build_cost_volume_uniform
 from decnet_tpu.ops.regression import uniform_disp_samples, disparity_regression
 from decnet_tpu.ops.matching import (sparse_matching_with_var,
                                      sparse_matching_with_var_rows)
@@ -84,8 +84,8 @@ class DecNet(nn.Module):
             if stage == 0:
                 B, H, W, _ = lf.shape
                 samples = uniform_disp_samples(cur_max_disp, B, H, W)
-                vol = build_cost_volume(lf, rf, samples.astype(dtype),
-                                        cfg.cost_func)
+                vol = build_cost_volume_uniform(lf, rf.astype(dtype),
+                                                cur_max_disp, cfg.cost_func)
                 cost = CostRegNet(lf.shape[-1], cfg.cost_func, dtype=dtype,
                                   name="cost_reg")(vol, train=train)
                 pred = disparity_regression(cost, samples)

@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from decnet_tpu.ops.warp import warp_volume_by_disparity
+from decnet_tpu.ops.warp import warp_volume_by_disparity, warp_volume_uniform
 
 
 def build_cost_volume(left: jax.Array, right: jax.Array,
@@ -38,6 +38,32 @@ def build_cost_volume(left: jax.Array, right: jax.Array,
         return jnp.concatenate([left_vol, right_vol], axis=-1)
     if cost_func == "ssd":
         # (l^2 + r^2)/2 - ((l+r)/2)^2  (submodule.py:524-530)
+        s = left_vol + right_vol
+        return (left_vol ** 2 + right_vol ** 2) / 2.0 - (s / 2.0) ** 2
+    raise ValueError(f"unknown cost_func {cost_func}")
+
+
+def build_cost_volume_uniform(left: jax.Array, right: jax.Array,
+                              max_disp: int, cost_func: str = "cor"
+                              ) -> jax.Array:
+    """build_cost_volume for the stage-0 uniform hypothesis set
+    d = 0..max_disp-1 (uniform_disp_samples): the warp becomes two static
+    matmuls (warp_volume_uniform) and the left-volume zeroing mask
+    ``x >= d`` is a trace-time constant."""
+    import numpy as np
+    B, H, W, C = left.shape
+    right_vol = warp_volume_uniform(right, max_disp)            # (B,S,H,W,C)
+    in_range = (np.arange(W)[None, :]
+                >= np.arange(max_disp)[:, None])                # (S, W)
+    left_vol = left[:, None] * jnp.asarray(
+        in_range[None, :, None, :, None], left.dtype)
+
+    if cost_func == "cor":
+        return left_vol * right_vol
+    if cost_func == "cat":
+        return jnp.concatenate(
+            [left_vol.astype(right_vol.dtype), right_vol], axis=-1)
+    if cost_func == "ssd":
         s = left_vol + right_vol
         return (left_vol ** 2 + right_vol ** 2) / 2.0 - (s / 2.0) ** 2
     raise ValueError(f"unknown cost_func {cost_func}")

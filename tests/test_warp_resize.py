@@ -101,3 +101,32 @@ def test_cost_volume_cor_matches_torch_reference_semantics(rng):
 
     got = cost_volume.build_cost_volume(left, right, jnp.asarray(samples), "cor")
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("cost_func", ["cor", "cat", "ssd"])
+def test_cost_volume_uniform_matches_gather_path(rng, cost_func):
+    """The stage-0 static-matmul volume (build_cost_volume_uniform) must equal
+    the general gather-based path on the uniform hypothesis set."""
+    B, H, W, C, S = 2, 7, 13, 5, 6
+    left = rng.randn(B, H, W, C).astype(np.float32)
+    right = rng.randn(B, H, W, C).astype(np.float32)
+    samples = np.broadcast_to(
+        np.arange(S, dtype=np.float32)[None, :, None, None],
+        (B, S, H, W)).copy()
+    want = cost_volume.build_cost_volume(left, right, jnp.asarray(samples),
+                                         cost_func)
+    got = cost_volume.build_cost_volume_uniform(left, right, S, cost_func)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_warp_volume_uniform_matches_vmap_gather(rng):
+    B, H, W, C, S = 1, 20, 36, 3, 8
+    img = rng.randn(B, H, W, C).astype(np.float32)
+    samples = np.broadcast_to(
+        np.arange(S, dtype=np.float32)[None, :, None, None],
+        (B, S, H, W)).copy()
+    want = warp_ops.warp_volume_by_disparity(img, jnp.asarray(samples))
+    got = warp_ops.warp_volume_uniform(img, S)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
