@@ -59,15 +59,19 @@ def init_model_and_state(cfg: Config, resume: Optional[str] = None,
     model = get_model(cfg.model.arch, cfg.model)
     k = cfg.model.down_scale ** (cfg.model.num_stage - 1) * 2
     dummy = jnp.zeros((1, k, k, 3))
+    # jit the init: eager init dispatches hundreds of tiny ops, which through
+    # the remote-TPU tunnel costs minutes; one compiled (and cached) call
+    # costs seconds.
     if cfg.model.use_detail:
-        variables = model.init(jax.random.PRNGKey(cfg.train.seed), dummy, dummy)
+        variables = jax.jit(model.init)(jax.random.PRNGKey(cfg.train.seed),
+                                        dummy, dummy)
     else:
         s = cfg.model.down_scale
         masks = [jnp.zeros((1, k // s ** (cfg.model.num_stage - 1 - i),
                             k // s ** (cfg.model.num_stage - 1 - i)))
                  for i in range(1, cfg.model.num_stage)]
-        variables = model.init(jax.random.PRNGKey(cfg.train.seed), dummy,
-                               dummy, masks, masks)
+        variables = jax.jit(model.init)(jax.random.PRNGKey(cfg.train.seed),
+                                        dummy, dummy, masks, masks)
     state = create_train_state(model, variables, cfg.train)
     mgr = None
     if resume:

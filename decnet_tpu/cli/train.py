@@ -39,6 +39,8 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--multihost", type=int, default=0)
     p.add_argument("--mask_source", type=str, default="compute")
+    p.add_argument("--dataset_length", type=int, default=None,
+                   help="dataset length for synthetic data")
     args = p.parse_args(argv)
 
     enable_compilation_cache()
@@ -67,11 +69,15 @@ def main(argv=None):
     state = jax.device_put(state, replicated(mesh))
     train_step = make_train_step(model, cfg)
 
+    ds_kw = {}
+    if args.dataset_length is not None:
+        ds_kw["length"] = args.dataset_length
     ds = get_dataset(args.dataset, args.root, split=args.train_split,
                      is_training=True, mask_source=args.mask_source,
                      img_size=(cfg.train.crop_h, cfg.train.crop_w),
                      scale=cfg.model.down_scale,
-                     levels=cfg.model.num_stage - 1, seed=cfg.train.seed)
+                     levels=cfg.model.num_stage - 1, seed=cfg.train.seed,
+                     **ds_kw)
     loader = DataLoader(ds, batch_size=cfg.train.batch_size, shuffle=True,
                         num_workers=cfg.data.num_workers, drop_last=True,
                         seed=cfg.train.seed)

@@ -42,18 +42,22 @@ def add_parallax_glare(left: np.ndarray, right: np.ndarray,
     return out_l.astype(left.dtype), out_r.astype(right.dtype)
 
 
-def random_occlusion_patch(right: np.ndarray, rng: np.random.RandomState,
-                           min_size: int = 50, max_size: int = 150
+def random_occlusion_patch(right: np.ndarray, rng: np.random.RandomState
                            ) -> np.ndarray:
     """Replace a random rectangle in the right view with the image mean colour
-    (KITTI15Mask.py:150-157)."""
+    (KITTI15Mask.py:150-157): half-height sh ~ U(30,80), half-width
+    sw ~ U(10,80), centre ~ U(s, dim-s); patch is 2sh x 2sw.  Half-sizes are
+    clamped so small crops stay valid (the reference assumes KITTI-sized
+    images)."""
     h, w, _ = right.shape
-    sx = rng.randint(min_size, max_size)
-    sy = rng.randint(min_size, max_size)
-    cx = rng.randint(0, max(1, w - sx))
-    cy = rng.randint(0, max(1, h - sy))
+    sh = int(rng.uniform(30, 80))
+    sw = int(rng.uniform(10, 80))
+    sh = min(sh, (h - 1) // 2)
+    sw = min(sw, (w - 1) // 2)
+    ch = int(rng.uniform(sh, h - sh))
+    cw = int(rng.uniform(sw, w - sw))
     out = right.copy()
-    out[cy:cy + sy, cx:cx + sx] = np.mean(right, axis=(0, 1))
+    out[ch - sh:ch + sh, cw - sw:cw + sw] = np.mean(right, axis=(0, 1))
     return out
 
 

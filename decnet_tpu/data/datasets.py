@@ -89,10 +89,28 @@ class StereoDataset:
             masks6 = [_pad_topleft(m, self.interval // self.scale ** (i % 3))
                       for i, m in enumerate(masks6)]
 
+        obj_mask = raw.get("obj_mask")
+        if obj_mask is not None:
+            obj_mask = _pad_topleft(obj_mask, self.interval)
+
         if self.is_training:
             th = int(np.ceil(self.img_size[0] / self.interval) * self.interval)
             tw = int(np.ceil(self.img_size[1] / self.interval) * self.interval)
             h, w = left.shape[:2]
+            if th > h or tw > w:
+                # image smaller than the crop target: zero-pad at the TOP and
+                # LEFT to the target (MiddleburyMask.py:178-193), masks padded
+                # with the same geometry per scale (:240-254)
+                ph, pw = max(th - h, 0), max(tw - w, 0)
+                pad2 = lambda a, s=1: np.pad(
+                    a, [(ph // s, 0), (pw // s, 0)] + [(0, 0)] * (a.ndim - 2))
+                left, right, gt = pad2(left), pad2(right), pad2(gt)
+                if obj_mask is not None:
+                    obj_mask = pad2(obj_mask)
+                if masks6 is not None:
+                    masks6 = [pad2(m, self.scale ** (i % 3))
+                              for i, m in enumerate(masks6)]
+                h, w = left.shape[:2]
             if (th, tw) != (h, w):
                 x1 = self.rng.randint(0, h - th + 1)
                 y1 = self.rng.randint(0, w - tw + 1)
@@ -102,11 +120,13 @@ class StereoDataset:
                 left = left[x1:x1 + th, y1:y1 + tw]
                 right = right[x1:x1 + th, y1:y1 + tw]
                 gt = gt[x1:x1 + th, y1:y1 + tw]
+                if obj_mask is not None:
+                    obj_mask = obj_mask[x1:x1 + th, y1:y1 + tw]
                 if masks6 is not None:
                     masks6 = [m[x1 // self.scale ** (i % 3):(x1 + th) // self.scale ** (i % 3),
                                 y1 // self.scale ** (i % 3):(y1 + tw) // self.scale ** (i % 3)]
                               for i, m in enumerate(masks6)]
-            left, right = self._augment(left, right)
+            left, right, gt = self._augment(left, right, gt, obj_mask)
 
         if masks6 is not None:
             # pickle order [Lfull, L1/3, L1/9, Rfull, R1/3, R1/9] ->
@@ -130,7 +150,7 @@ class StereoDataset:
             "n_disp": raw.get("ndisp", self.default_ndisp),
         }
 
-    def _augment(self, left, right):
+    def _augment(self, left, right, gt, obj_mask=None):
         cfg = self.augment_cfg
         if cfg.get("glare", True) and self.rng.binomial(1, 0.5):
             left, right = augment.add_parallax_glare(left, right, self.rng)
@@ -138,7 +158,7 @@ class StereoDataset:
             right = augment.random_occlusion_patch(right, self.rng)
         if cfg.get("photometric", False):
             left, right = augment.random_photometric(left, right, self.rng)
-        return left, right
+        return left, right, gt
 
 
 class SceneFlow(StereoDataset):
@@ -168,32 +188,115 @@ class SceneFlow(StereoDataset):
 
 
 class Kitti2015(SceneFlow):
-    """KITTI pack loader; `train_eval` split zeroes GT rows < 130
-    (KITTI15Mask.py:164-165)."""
+    """KITTI pack loader (KITTI15Mask.py).
+
+    Train augs replicate the reference schedule exactly: glare applied
+    TWICE with p=0.8 then p=0.5 (KITTI15Mask.py:140-145), mean-colour
+    occlusion patch p=0.5 (:150-157), object-mask GT multiply p=0.3 when the
+    pack carries an 8th channel (:159-162), shared photometric jitter
+    (:231-244).  The `train_eval` split zeroes GT rows < 130 (:164-165)."""
 
     def __init__(self, root, split="train", **kw):
-        kw.setdefault("augment_cfg", {"glare": True, "occlusion": True,
-                                      "photometric": True})
+        kw.setdefault("augment_cfg", {"photometric": True})
         super().__init__(root, split.replace("_eval", ""), **kw)
         self.zero_top = split.endswith("_eval") or not self.is_training
 
     def _load_raw(self, index):
-        out = super()._load_raw(index)
+        pack = np.load(self.files[index]).astype(np.float32)
+        name = os.path.splitext(os.path.basename(self.files[index]))[0]
+        out = {"left": pack[..., 0:3], "right": pack[..., 3:6],
+               "gt": pack[..., 6], "name": name, "ndisp": 192}
+        if pack.shape[-1] == 8:          # optional object-mask channel
+            out["obj_mask"] = pack[..., 7]
+        mpath = os.path.join(self.mask_dir, name)
+        if self.mask_source == "precomputed" and os.path.exists(mpath):
+            with open(mpath, "rb") as f:
+                out["masks6"] = [np.asarray(m, np.float32)
+                                 for m in pickle.load(f)]
         if self.zero_top:
             out["gt"] = out["gt"].copy()
             out["gt"][:130] = 0.0
         return out
 
+    def _augment(self, left, right, gt, obj_mask=None):
+        # double glare: p=0.8 then p=0.5 (KITTI15Mask.py:140-145)
+        if self.augment_cfg.get("glare", True):
+            if self.rng.binomial(1, 0.8):
+                left, right = augment.add_parallax_glare(left, right,
+                                                         self.rng)
+            if self.rng.binomial(1, 0.5):
+                left, right = augment.add_parallax_glare(left, right,
+                                                         self.rng)
+        # mean-colour occlusion patch p=0.5 (:150-157)
+        if self.augment_cfg.get("occlusion", True) \
+                and self.rng.binomial(1, 0.5):
+            right = augment.random_occlusion_patch(right, self.rng)
+        if self.augment_cfg.get("photometric", True):
+            left, right = augment.random_photometric(left, right, self.rng)
+        # object-mask GT multiply p=0.3 (:159-162)
+        if obj_mask is not None and self.rng.rand() < 0.3:
+            gt = gt * obj_mask
+        return left, right, gt
+
+
+# Middlebury split zoo (MiddleburyMask.py:33-76): split name -> (processed
+# dataset subdirectory, inner split directory).  eval_F is accepted even
+# though the reference's elif chain would raise on it — eval.sh:6 passes
+# eval_F, a latent upstream bug; the evident intent is the trainingF set.
+_MIDD_SPLITS = {
+    "train_Q": ("MiddEval3Q_processed", "trainingQ"),
+    "eval_Q": ("MiddEval3Q_processed", "trainingQ"),
+    "train_H": ("MiddEval3H_processed", "trainingH"),
+    "eval_H": ("MiddEval3H_processed", "trainingH"),
+    "train_F": ("MiddEval3F_processed", "trainingF"),
+    "eval_F": ("MiddEval3F_processed", "trainingF"),
+    "train_AG": ("", "MiddZip_raw_split_dense"),
+    "train_allF": ("", "MiddZip_processed"),
+    "eval_allF": ("", "MiddZip_processed"),
+    "train_allF_EL": ("", "MiddZip_processed_EL"),
+    "eval_allF_EL": ("", "MiddZip_processed_EL"),
+    "train_merge": ("", "MiddMerged"),
+    "test_Q": ("MiddEval3Q_processed", "testQ"),
+    "test_H": ("MiddEval3H_processed", "testH"),
+    "test_F": ("MiddEval3F_processed", "testF"),
+}
+
+
+def _midd_quality_filter(names: Sequence[str]) -> List[str]:
+    """Training file filter (MiddleburyMask.py:81-90): keep files whose
+    name-suffix score (text after the last '-') parses as a float > 0.88;
+    non-numeric suffixes are kept unless the name contains 'perfect'."""
+    out = []
+    for name in names:
+        stem = os.path.basename(name).replace(".pkl", "")
+        try:
+            if float(stem.split("-")[-1]) > 0.88:
+                out.append(name)
+        except ValueError:
+            if "perfect" not in stem:
+                out.append(name)
+    return out
+
 
 class Middlebury(StereoDataset):
+    """Middlebury .pkl loader with the reference split zoo, the training
+    quality filter, per-scene ndisp and flip-with-right-disparity aug
+    (MiddleburyMask.py)."""
+
     def __init__(self, root, split="eval_F", **kw):
         kw.setdefault("is_training", split.startswith("train"))
         super().__init__(root, split, **kw)
-        base = os.path.join(root, split)
+        base = os.path.join(root, split)       # direct-directory layout
+        if split in _MIDD_SPLITS and not os.path.isdir(base):
+            sub, inner = _MIDD_SPLITS[split]   # reference layout
+            base = os.path.join(root, sub, inner) if sub \
+                else os.path.join(root, inner)
         if not os.path.isdir(base):
             raise FileNotFoundError(base)
-        self.files = sorted(os.path.join(base, f) for f in os.listdir(base)
-                            if f.endswith(".pkl"))
+        files = sorted(f for f in os.listdir(base) if f.endswith(".pkl"))
+        if self.is_training:
+            files = _midd_quality_filter(files)
+        self.files = [os.path.join(base, f) for f in files]
 
     def __len__(self):
         return len(self.files)
@@ -208,12 +311,29 @@ class Middlebury(StereoDataset):
                            posinf=0.0, neginf=0.0)
         out = {"left": left, "right": right, "gt": gt, "name": name,
                "ndisp": int(d.get("ndisp", 192))}
+        masks6 = None
+        if self.mask_source == "precomputed":
+            mdir = os.path.dirname(self.files[index]) + "_mask"
+            mpath = os.path.join(mdir, name)
+            if os.path.exists(mpath):
+                with open(mpath, "rb") as f:
+                    masks6 = [np.asarray(m, np.float32)
+                              for m in pickle.load(f)]
         if self.is_training and "disparity_right" in d \
                 and self.rng.binomial(1, 0.5):
             gr = np.nan_to_num(np.asarray(d["disparity_right"], np.float32),
                                posinf=0.0, neginf=0.0)
             l, r, g = augment.horizontal_flip_stereo(left, right, gt, gr)
             out.update(left=l, right=r, gt=g)
+            if masks6 is not None:
+                # flip swaps L<->R masks, each mirrored (MiddleburyMask.py:
+                # 225-233); pickle order [Lfull,L3,L9, Rfull,R3,R9]
+                masks6 = ([np.ascontiguousarray(m[:, ::-1])
+                           for m in masks6[3:6]]
+                          + [np.ascontiguousarray(m[:, ::-1])
+                             for m in masks6[0:3]])
+        if masks6 is not None:
+            out["masks6"] = masks6
         return out
 
 

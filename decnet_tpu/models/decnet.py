@@ -84,8 +84,8 @@ class DecNet(nn.Module):
             if stage == 0:
                 B, H, W, _ = lf.shape
                 samples = uniform_disp_samples(cur_max_disp, B, H, W)
-                vol = build_cost_volume_uniform(lf, rf.astype(dtype),
-                                                cur_max_disp, cfg.cost_func)
+                vol = build_cost_volume_uniform(lf, rf, cur_max_disp,
+                                                cfg.cost_func)
                 cost = CostRegNet(lf.shape[-1], cfg.cost_func, dtype=dtype,
                                   name="cost_reg")(vol, train=train)
                 pred = disparity_regression(cost, samples)

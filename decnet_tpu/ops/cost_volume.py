@@ -61,8 +61,7 @@ def build_cost_volume_uniform(left: jax.Array, right: jax.Array,
     if cost_func == "cor":
         return left_vol * right_vol
     if cost_func == "cat":
-        return jnp.concatenate(
-            [left_vol.astype(right_vol.dtype), right_vol], axis=-1)
+        return jnp.concatenate([left_vol, right_vol], axis=-1)
     if cost_func == "ssd":
         s = left_vol + right_vol
         return (left_vol ** 2 + right_vol ** 2) / 2.0 - (s / 2.0) ** 2

@@ -86,10 +86,13 @@ _HAAR = {
 }
 
 
-def _haar_hf_energy(gray: jax.Array) -> jax.Array:
-    """Max |HF coefficient| over the three Haar detail bands; stride-2.
+def _haar_bands(gray: jax.Array) -> tuple:
+    """One Haar analysis step: (LL approximation, max |HF| over LH/HL/HH).
 
-    gray (B,H,W) -> (B,H/2,W/2)."""
+    gray (B,H,W) -> ((B,H/2,W/2), (B,H/2,W/2)).  The reference's learned
+    wavelet weights pickle is missing upstream (utils/Wavelet.py:9); standard
+    Haar filters stand in.  LL is the 2x2 mean (the per-level min-max
+    normalisation makes the mask invariant to the LL gain convention)."""
     B, H, W = gray.shape
     x = gray.reshape(B, H // 2, 2, W // 2, 2)
     e = None
@@ -97,14 +100,35 @@ def _haar_hf_energy(gray: jax.Array) -> jax.Array:
         k = jnp.asarray(f)
         band = jnp.abs(jnp.einsum("bhiwj,ij->bhw", x, k))
         e = band if e is None else jnp.maximum(e, band)
-    return e
+    ll = x.mean(axis=(2, 4))
+    return ll, e
+
+
+def _adaptive_wavelet_threshold(norm: jax.Array, target: float) -> jax.Array:
+    """Per-image adaptive threshold (utils/Wavelet.py:96-106): scan interval
+    ends t = 0.1, 0.2, ..., 1.0 and pick the FIRST t where the fraction of
+    pixels with normalised energy <= t reaches `target` (0.85 upstream).
+    norm (B,h,w) in [0,1] -> (B,) thresholds.
+
+    Always terminates: frac(norm <= 1.0) == 1 >= target.  (The reference's
+    `raise Exception("interval is over limit!")` at Wavelet.py:103-105 is
+    unreachable for the same reason and doubles as a break-at-0.9 bug —
+    documented, not replicated.)"""
+    flat = norm.reshape(norm.shape[0], -1)
+    ts = jnp.arange(1, 11, dtype=norm.dtype) / jnp.asarray(10.0, norm.dtype)
+    frac = (flat[:, None, :] <= ts[None, :, None]).mean(axis=-1)   # (B,10)
+    first = jnp.argmax(frac >= target, axis=1)                     # (B,)
+    return ts[first]
 
 
 def wavelet_detail_masks(img: jax.Array, levels: int = 3,
-                         percentile: float = 85.0) -> List[jax.Array]:
+                         target: float = 0.85) -> List[jax.Array]:
     """Wavelet detail masks (utils/Wavelet.py:66-123 semantics): per level,
-    take the max |high-frequency| energy, then threshold at the given
-    per-image percentile of the energy distribution.
+    run one Haar analysis step on the running LL approximation, take the max
+    |high-frequency| coefficient over the three detail bands, min-max
+    normalise per image, and binarise at the per-image *adaptive* threshold
+    (first decile boundary covering >= `target` of the pixels,
+    Wavelet.py:96-106); the LL band feeds the next level (Wavelet.py:75).
 
     Returns masks coarsest-first at resolutions H/2^level (wavelets halve per
     level, unlike the x3 Gaussian pyramid; callers resize to stage grids).
@@ -112,9 +136,10 @@ def wavelet_detail_masks(img: jax.Array, levels: int = 3,
     gray = img.mean(axis=-1)
     masks = []
     for _ in range(levels):
-        e = _haar_hf_energy(gray)
-        th = jnp.percentile(e.reshape(e.shape[0], -1), percentile, axis=1)
-        masks.append((e >= th[:, None, None]).astype(jnp.float32))
-        gray = interpolate(gray, gray.shape[1] // 2, gray.shape[2] // 2,
-                           "bilinear")
+        gray, e = _haar_bands(gray)
+        lo = e.min(axis=(1, 2), keepdims=True)
+        hi = e.max(axis=(1, 2), keepdims=True)
+        norm = (e - lo) / jnp.maximum(hi - lo, 1e-12)
+        th = _adaptive_wavelet_threshold(norm, target)
+        masks.append((norm >= th[:, None, None]).astype(jnp.float32))
     return masks[::-1]

@@ -206,15 +206,55 @@ def _spavar_fwd_xla(ref, tar, ref_mask, tar_mask, disparity, max_disp: int):
     return out, sum_sim, max_cost, sed, se
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _spavar_bwd_feats_xla(ref, tar, ref_mask, tar_mask, disparity, out,
+                          sum_sim, max_cost, g, max_disp: int):
+    """SpaVar feature gradients (SV_kernel.cu:142-195 ref / :215-271 tar).
+
+    Same banded scan as the SpaMat backward, with the query-side weight
+    ``e^{cost-max} * ((d - disparity)^2 - out)`` instead of ``e*(d - out)``.
+    Latent upstream (the shipped model calls SpaVar under torch.no_grad);
+    exposed here behind sparse_var(..., full_grad=True).
+    """
+    B, H, W, C = ref.shape
+    ref32 = ref.astype(jnp.float32)
+    tarp = _pad_tar(tar.astype(jnp.float32), max_disp)
+    tmaskp = _pad_tar((tar_mask != 0).astype(jnp.float32), max_disp)
+    refm = ref_mask != 0
+    disparity = disparity.astype(jnp.float32)
+    inv_ss = jnp.where(refm, 1.0 / jnp.where(refm, sum_sim, 1.0), 0.0)
+    g_over_ss = g * inv_ss
+
+    def step(carry, d):
+        acc_ref, acc_tar = carry
+        tar_d = _shift_right(tarp, d, W, max_disp)
+        ok = _shift_right(tmaskp, d, W, max_disp) > 0
+        s = jnp.sum(ref32 * tar_d, axis=-1)
+        e = jnp.where(ok & refm, jnp.exp(s - max_cost), 0.0)
+        d_f = d.astype(jnp.float32)
+        wq = e * ((d_f - disparity) ** 2 - out)
+        acc_ref = acc_ref + (wq * g_over_ss)[..., None] * tar_d
+        q_term = (wq * g_over_ss)[..., None] * ref32
+        acc_tar = acc_tar + _shift_left(q_term, d, max_disp)
+        return (acc_ref, acc_tar), None
+
+    z = jnp.zeros((B, H, W, C), jnp.float32)
+    (gref, gtar), _ = lax.scan(step, (z, z), jnp.arange(max_disp))
+    gref = gref * refm[..., None]
+    gtar = gtar * (tar_mask != 0)[..., None]
+    return gref.astype(ref.dtype), gtar.astype(tar.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def sparse_var(ref, tar, ref_mask, tar_mask, disparity, max_disp: int,
-               impl: str = "auto"):
+               impl: str = "auto", full_grad: bool = False):
     """Softmax-weighted variance of the disparity band around `disparity`
     (SpaVar, SV_kernel.cu:76-124). Returns (B,H,W); 0 where ref_mask == 0.
 
     The shipped model evaluates this under stop_gradient
-    (SparseDenseNetRefinementMask.py:188-192); the disparity gradient
-    (SV_kernel.cu:275-325) is provided for completeness.
+    (SparseDenseNetRefinementMask.py:188-192), so by default the feature
+    gradients are zeroed (torch.no_grad parity) and only the disparity
+    gradient (SV_kernel.cu:275-325) flows.  `full_grad=True` additionally
+    enables the latent ref/tar feature gradients (SV_kernel.cu:142-271).
     """
     out, *_ = _spavar_dispatch(ref, tar, ref_mask, tar_mask, disparity,
                                max_disp, impl)
@@ -231,23 +271,32 @@ def _spavar_dispatch(ref, tar, ref_mask, tar_mask, disparity, max_disp, impl):
     return _spavar_fwd_xla(ref, tar, ref_mask, tar_mask, disparity, max_disp)
 
 
-def _spavar_vjp_fwd(ref, tar, ref_mask, tar_mask, disparity, max_disp, impl):
+def _spavar_vjp_fwd(ref, tar, ref_mask, tar_mask, disparity, max_disp, impl,
+                    full_grad):
     out, sum_sim, max_cost, sed, se = _spavar_dispatch(
         ref, tar, ref_mask, tar_mask, disparity, max_disp, impl)
-    return out, (ref, tar, ref_mask, tar_mask, disparity, sum_sim, sed, se)
+    return out, (ref, tar, ref_mask, tar_mask, disparity, out, sum_sim,
+                 max_cost, sed, se)
 
 
-def _spavar_vjp_bwd(max_disp, impl, res, g):
-    ref, tar, ref_mask, tar_mask, disparity, sum_sim, sed, se = res
+def _spavar_vjp_bwd(max_disp, impl, full_grad, res, g):
+    (ref, tar, ref_mask, tar_mask, disparity, out, sum_sim, max_cost,
+     sed, se) = res
     refm = ref_mask != 0
     inv_ss = jnp.where(refm, 1.0 / jnp.where(refm, sum_sim, 1.0), 0.0)
     # SV_kernel.cu:275-325: grad_disp = -2 g * sum_d e*(d-disp) / sum_sim
     acc = sed - disparity.astype(jnp.float32) * se
     gdisp = (-2.0 * g * acc * inv_ss).astype(disparity.dtype)
-    # Feature grads of the variance are latent/unused in the shipped model
-    # (called under no_grad); zero them as torch's no_grad context does.
-    return (jnp.zeros_like(ref), jnp.zeros_like(tar),
-            jnp.zeros_like(ref_mask), jnp.zeros_like(tar_mask), gdisp)
+    if full_grad:
+        gref, gtar = _spavar_bwd_feats_xla(ref, tar, ref_mask, tar_mask,
+                                           disparity, out, sum_sim, max_cost,
+                                           g, max_disp)
+    else:
+        # Feature grads are zeroed by default, as torch's no_grad context
+        # does in the shipped model.
+        gref, gtar = jnp.zeros_like(ref), jnp.zeros_like(tar)
+    return (gref, gtar, jnp.zeros_like(ref_mask), jnp.zeros_like(tar_mask),
+            gdisp)
 
 
 sparse_var.defvjp(_spavar_vjp_fwd, _spavar_vjp_bwd)

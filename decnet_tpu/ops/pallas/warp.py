@@ -187,8 +187,11 @@ def _fast_fwd(img, disp, max_disp):
 
 def _fast_bwd(max_disp, res, g):
     img, disp = res
-    _, vjp = jax.vjp(xla_warp.warp_by_disparity, img, disp)
-    return vjp(g)
+    out, vjp = jax.vjp(xla_warp.warp_by_disparity, img, disp)
+    # the Pallas forward emits img.dtype (bf16 under mixed precision) while
+    # the XLA reference formulation produces f32 (weights are f32); align the
+    # cotangent dtype with the reference output before pulling it back
+    return vjp(g.astype(out.dtype))
 
 
 warp_by_disparity_fast.defvjp(_fast_fwd, _fast_bwd)
@@ -208,9 +211,9 @@ def _rows_fast_fwd(img_rows, disp, max_disp):
 
 def _rows_fast_bwd(max_disp, res, g):
     img_rows, disp = res
-    _, vjp = jax.vjp(xla_warp.warp_by_disparity,
-                     img_rows.transpose(0, 1, 3, 2), disp)
-    gimg, gdisp = vjp(g.transpose(0, 1, 3, 2))
+    out, vjp = jax.vjp(xla_warp.warp_by_disparity,
+                       img_rows.transpose(0, 1, 3, 2), disp)
+    gimg, gdisp = vjp(g.transpose(0, 1, 3, 2).astype(out.dtype))
     return gimg.transpose(0, 1, 3, 2), gdisp
 
 

@@ -124,5 +124,8 @@ def warp_volume_uniform(img: jax.Array, max_disp: int) -> jax.Array:
     Mx = np.stack(cols)                                   # (S, W, W)
     tmp = jnp.einsum("ih,bhwc->biwc", jnp.asarray(Ry), img,
                      preferred_element_type=jnp.float32)
-    return jnp.einsum("sxw,bhwc->bshxc", jnp.asarray(Mx), tmp,
-                      preferred_element_type=jnp.float32)
+    out = jnp.einsum("sxw,bhwc->bshxc", jnp.asarray(Mx), tmp,
+                     preferred_element_type=jnp.float32)
+    # accumulate in f32 on the MXU but materialise the volume in the input
+    # dtype — under bf16 the f32 volume would double the stage-0 HBM traffic
+    return out.astype(img.dtype)

@@ -63,23 +63,17 @@ def save_params(path: str, variables: dict):
     np.savez(path, **arrays)
 
 
-def load_torch_checkpoint(path: str, variables: dict) -> dict:
+def load_torch_checkpoint(path: str, variables: dict,
+                          num_stage: int = 4) -> dict:
     """Import a reference `.pkl` torch checkpoint (checkpoint['model_state'])
     into the DecNet-TPU variable tree.
 
-    Layout mapping: torch OIHW conv kernels -> flax HWIO; ConvTranspose
-    IOHW -> flax HWIO (spatially flipped per flax convention); BatchNorm
-    weight/bias/running_mean/running_var -> scale/bias/mean/var.  The
-    `module.` DataParallel prefix is stripped (demo.py:128-130).  Name
-    translation covers the shipped architecture; unmatched keys are reported.
+    Thin alias for :func:`decnet_tpu.train.torch_import.
+    load_reference_checkpoint` — the full name map + layout conversion
+    (torch OIHW conv -> flax HWIO, ConvTranspose IOHW -> flipped HWIO,
+    BN weight/bias/running stats -> scale/bias/mean/var, `module.` prefix
+    stripping per demo.py:128-130) lives there and is exhaustively tested
+    in tests/test_torch_import.py.
     """
-    import torch  # CPU torch is available in the image
-    ckpt = torch.load(path, map_location="cpu")
-    state = ckpt.get("model_state", ckpt)
-    state = {k.replace("module.", ""): v.numpy() for k, v in state.items()}
-    # The mapping table is intentionally data-driven: build it from the
-    # variable tree paths and match by ordered shape signature per submodule.
-    raise NotImplementedError(
-        "torch checkpoint import requires the reference checkpoint files "
-        "(Baidu-hosted, not present in this environment); the converter "
-        "scaffolding is in place — finish the name map when weights exist.")
+    from decnet_tpu.train.torch_import import load_reference_checkpoint
+    return load_reference_checkpoint(path, variables, num_stage=num_stage)

@@ -147,6 +147,52 @@ def sparse_var_fwd(ref, tar, ref_mask, tar_mask, disparity, max_disp):
     return out, sum_sim, max_cost
 
 
+def sparse_var_bwd_feats(ref, tar, ref_mask, tar_mask, disparity, out,
+                         sum_sim, max_cost, grad_out, max_disp):
+    """SpaVar feature gradients (SV_kernel.cu:142-195 ref / :215-271 tar).
+
+    grad_ref (ref_mask != 0):
+      g/sum_sim * sum_d exp(cost-max)*tar[w-d,c]*((d-disp)^2 - out)
+    grad_tar (tar_mask != 0), scanning d over left pixels w+d with
+    ref_mask != 0:
+      sum_d g[w+d]*exp(cost-max[w+d])*ref[w+d,c]
+            *((d-disp[w+d])^2 - out[w+d])/sum_sim[w+d]
+    """
+    B, H, W, C = ref.shape
+    grad_ref = np.zeros_like(ref)
+    grad_tar = np.zeros_like(tar)
+    for b in range(B):
+        for h in range(H):
+            for w in range(W):
+                if ref_mask[b, h, w] != 0:
+                    cur_d = min(max_disp, w + 1)
+                    acc = np.zeros(C, np.float32)
+                    dd = disparity[b, h, w]
+                    for d in range(cur_d):
+                        if tar_mask[b, h, w - d] == 0:
+                            continue
+                        c = float(np.dot(ref[b, h, w], tar[b, h, w - d]))
+                        e = np.exp(c - max_cost[b, h, w])
+                        acc += e * tar[b, h, w - d] * ((d - dd) ** 2
+                                                       - out[b, h, w])
+                    grad_ref[b, h, w] = (grad_out[b, h, w] * acc
+                                         / sum_sim[b, h, w])
+                if tar_mask[b, h, w] != 0:
+                    cur_d = min(max_disp, W - w)
+                    acc = np.zeros(C, np.float32)
+                    for d in range(cur_d):
+                        wq = w + d
+                        if ref_mask[b, h, wq] == 0:
+                            continue
+                        c = float(np.dot(ref[b, h, wq], tar[b, h, w]))
+                        e = np.exp(c - max_cost[b, h, wq])
+                        acc += (grad_out[b, h, wq] * e * ref[b, h, wq]
+                                * ((d - disparity[b, h, wq]) ** 2
+                                   - out[b, h, wq]) / sum_sim[b, h, wq])
+                    grad_tar[b, h, w] = acc
+    return grad_ref, grad_tar
+
+
 def sparse_var_grad_disp(ref, tar, ref_mask, tar_mask, disparity, sum_sim,
                          max_cost, grad_out, max_disp):
     """Gradient of sparse_var w.r.t. the input disparity (SV_kernel.cu:275-325).

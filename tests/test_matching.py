@@ -95,6 +95,57 @@ def test_spavar_disp_gradient_matches_oracle(rng):
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=1e-5)
 
 
+def test_spavar_feature_gradients_match_oracle(rng):
+    """full_grad=True enables the latent ref/tar feature grads
+    (SV_kernel.cu:142-271); the default keeps them zero (no_grad parity)."""
+    max_disp = 9
+    ref, tar, rm, tm = make_inputs(rng, B=1, H=3, W=15, C=4)
+    disp = (rng.rand(1, 3, 15) * max_disp).astype(np.float32)
+    out, ss, mc = oracles.sparse_var_fwd(ref, tar, rm, tm, disp, max_disp)
+    g = rng.randn(1, 3, 15).astype(np.float32)
+    want_gr, want_gt = oracles.sparse_var_bwd_feats(
+        ref, tar, rm, tm, disp, out, ss, mc, g, max_disp)
+
+    def f(r, t):
+        return jnp.vdot(matching.sparse_var(r, t, rm, tm, disp, max_disp,
+                                            "xla", True), g)
+    got_gr, got_gt = jax.grad(f, argnums=(0, 1))(ref, tar)
+    np.testing.assert_allclose(np.asarray(got_gr), want_gr, rtol=2e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_gt), want_gt, rtol=2e-4,
+                               atol=1e-5)
+    # default (no_grad parity): feature grads exactly zero
+    def f0(r, t):
+        return jnp.vdot(matching.sparse_var(r, t, rm, tm, disp, max_disp,
+                                            "xla"), g)
+    z_gr, z_gt = jax.grad(f0, argnums=(0, 1))(ref, tar)
+    assert float(jnp.abs(z_gr).max()) == 0.0
+    assert float(jnp.abs(z_gt).max()) == 0.0
+
+
+def test_spavar_full_grad_finite_differences(rng):
+    """Central finite differences through the full_grad VJP (features)."""
+    max_disp = 6
+    ref, tar, rm, tm = make_inputs(rng, B=1, H=2, W=10, C=3, density=0.7)
+    # scale features down so exp(cost) stays smooth for finite differences
+    ref *= 0.3
+    tar *= 0.3
+    disp = (rng.rand(1, 2, 10) * max_disp).astype(np.float32)
+
+    def f(r):
+        return float(matching.sparse_var(jnp.asarray(r), tar, rm, tm, disp,
+                                         max_disp, "xla", True).sum())
+    g = jax.grad(lambda r: matching.sparse_var(r, tar, rm, tm, disp,
+                                               max_disp, "xla", True).sum())(
+        jnp.asarray(ref))
+    eps = 1e-3
+    for idx in [(0, 0, 3, 1), (0, 1, 7, 2), (0, 0, 9, 0)]:
+        rp = ref.copy(); rp[idx] += eps
+        rm_ = ref.copy(); rm_[idx] -= eps
+        fd = (f(rp) - f(rm_)) / (2 * eps)
+        np.testing.assert_allclose(float(g[idx]), fd, rtol=5e-2, atol=1e-4)
+
+
 def test_spamat_bf16_inputs(rng):
     ref, tar, rm, tm = make_inputs(rng, B=1, H=2, W=16, C=4)
     out32 = matching.sparse_matching(ref, tar, rm, tm, 8, "xla")

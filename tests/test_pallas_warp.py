@@ -55,3 +55,32 @@ def test_fast_warp_gradients_match_reference(rng):
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(gd_f), np.asarray(gd_r), rtol=1e-3,
                                atol=1e-4)
+
+
+def test_fast_warp_gradients_bf16(rng):
+    """Regression: bf16 training path — the Pallas forward emits bf16 while
+    the XLA reference VJP expects an f32 cotangent (round-2 TPU train-step
+    crash); grads must come back finite and in the primal dtypes."""
+    from decnet_tpu.ops.pallas.warp import warp_rows_fast
+    img = rng.randn(1, 4, 36, 3).astype(np.float32)
+    disp = (rng.rand(1, 4, 36) * 8).astype(np.float32)
+    img16 = jnp.asarray(img, jnp.bfloat16)
+
+    gi, gd = jax.grad(
+        lambda i, d: (warp_by_disparity_fast(i, d, 12) ** 2).sum().astype(
+            jnp.float32), argnums=(0, 1))(img16, disp)
+    assert gi.dtype == jnp.bfloat16 and gd.dtype == jnp.float32
+    assert np.isfinite(np.asarray(gi, np.float32)).all()
+    gi_r = jax.grad(
+        lambda i, d: (warp_by_disparity(i, d) ** 2).sum())(img, disp)
+    np.testing.assert_allclose(np.asarray(gi, np.float32), np.asarray(gi_r),
+                               rtol=0.1, atol=0.2)
+
+    rows16 = img16.transpose(0, 1, 3, 2)
+    gi2, gd2 = jax.grad(
+        lambda i, d: (warp_rows_fast(i, d, 12) ** 2).sum().astype(
+            jnp.float32), argnums=(0, 1))(rows16, disp)
+    assert gi2.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(gi2.transpose(0, 1, 3, 2), np.float32),
+        np.asarray(gi, np.float32), rtol=1e-2, atol=1e-2)

@@ -137,6 +137,121 @@ def test_middlebury_dataset(tmp_path):
     assert s["ori_h"] == 60 and s["ori_w"] == 90
 
 
+def test_middlebury_split_zoo_and_quality_filter(tmp_path):
+    """Reference directory layout (MiddleburyMask.py:33-76) + the training
+    name-suffix quality filter > 0.88 (:81-90)."""
+    from decnet_tpu.data.datasets import get_dataset
+    base = tmp_path / "MiddEval3Q_processed" / "trainingQ"
+    os.makedirs(base)
+    rng = np.random.RandomState(3)
+    d = {"ndisp": 70,
+         "im0": rng.randint(0, 255, (60, 90, 3)).astype(np.float32),
+         "im1": rng.randint(0, 255, (60, 90, 3)).astype(np.float32),
+         "disparity": (rng.rand(60, 90) * 60).astype(np.float32)}
+    for name in ("good-0.95.pkl", "bad-0.50.pkl", "plain.pkl",
+                 "sceneperfect.pkl"):
+        with open(base / name, "wb") as f:
+            pickle.dump(d, f)
+    # eval: all four files, mapped through the zoo directory
+    ds = get_dataset("middlebury", str(tmp_path), split="eval_Q")
+    assert len(ds) == 4 and not ds.is_training
+    assert ds[0]["n_disp"] == 70
+    # train: score > 0.88 kept; non-numeric kept unless 'perfect' in name
+    ds = get_dataset("middlebury", str(tmp_path), split="train_Q",
+                     img_size=(54, 81))
+    kept = sorted(os.path.basename(p) for p in ds.files)
+    assert kept == ["good-0.95.pkl", "plain.pkl"]
+
+
+def test_middlebury_train_pads_small_images_to_target(tmp_path):
+    """Training pad-or-crop (MiddleburyMask.py:178-193): images smaller than
+    the crop target are zero-padded at the TOP and LEFT."""
+    from decnet_tpu.data.datasets import get_dataset
+    os.makedirs(tmp_path / "train_custom")
+    rng = np.random.RandomState(5)
+    d = {"ndisp": 30,
+         "im0": rng.randint(1, 255, (30, 40, 3)).astype(np.float32),
+         "im1": rng.randint(1, 255, (30, 40, 3)).astype(np.float32),
+         "disparity": (rng.rand(30, 40) * 20 + 1).astype(np.float32)}
+    with open(tmp_path / "train_custom" / "tiny.pkl", "wb") as f:
+        pickle.dump(d, f)
+    ds = get_dataset("middlebury", str(tmp_path), split="train_custom",
+                     img_size=(54, 81), is_training=True,
+                     augment_cfg={"glare": False})
+    s = ds[0]
+    assert s["left"].shape == (54, 81, 3)
+    # original 30x40 pads to 54x54 (x27), then to the 54x81 target: the
+    # left-most 81-54=27 columns and top rows are zero-padded
+    assert (s["gt"][:, :27] == 0).all()
+    assert (s["gt"][-30:, -40:] > 0).any()
+    assert [m.shape for m in s["left_masks"]] == [(6, 9), (18, 27), (54, 81)]
+
+
+class _FakeRng:
+    """Deterministic stand-in for RandomState: binomial/rand return scripted
+    values, everything else delegates to a real RandomState."""
+    def __init__(self, binomials, rands):
+        self._b = list(binomials)
+        self._r = list(rands)
+        self._real = np.random.RandomState(0)
+
+    def binomial(self, n, p):
+        return self._b.pop(0)
+
+    def rand(self, *shape):
+        if not shape:
+            return self._r.pop(0)
+        return self._real.rand(*shape)
+
+    def __getattr__(self, k):
+        return getattr(self._real, k)
+
+
+def test_kitti_object_mask_and_aug_schedule(tmp_path):
+    """KITTI15Mask.py:140-162 parity: double glare (p=.8 then p=.5), mean-
+    colour occlusion p=.5, and the 8th-channel object-mask GT multiply
+    p=.3."""
+    from decnet_tpu.data.datasets import get_dataset
+    os.makedirs(tmp_path / "train")
+    rng = np.random.RandomState(7)
+    h, w = 54, 81
+    pack = np.zeros((h, w, 8), np.float32)
+    pack[..., 0:3] = rng.randint(0, 200, (h, w, 3))
+    pack[..., 3:6] = rng.randint(0, 200, (h, w, 3))
+    pack[..., 6] = rng.rand(h, w) * 20 + 1
+    pack[..., 7] = (rng.rand(h, w) < 0.5)       # object mask
+    np.save(tmp_path / "train" / "0000.npy", pack)
+
+    ds = get_dataset("kitti15", str(tmp_path), split="train",
+                     is_training=True, img_size=(h, w),
+                     augment_cfg={"glare": False, "occlusion": False,
+                                  "photometric": False})
+    # scripted draws: rand()=0.1 < 0.3 -> obj multiply fires
+    ds.rng = _FakeRng(binomials=[], rands=[0.1])
+    s = ds[0]
+    zeroed = pack[..., 7] == 0
+    assert (s["gt"][zeroed] == 0).all()
+    assert (s["gt"][~zeroed] > 0).any()
+
+    # rand()=0.9 >= 0.3 -> GT untouched
+    ds.rng = _FakeRng(binomials=[], rands=[0.9])
+    s = ds[0]
+    np.testing.assert_allclose(s["gt"], pack[..., 6], rtol=1e-6)
+
+    # full aug schedule order: binomial draws are glare(p=.8), glare(p=.5),
+    # occlusion(p=.5); then the obj-mask rand
+    ds2 = get_dataset("kitti15", str(tmp_path), split="train",
+                      is_training=True, img_size=(h, w))
+    ds2.rng = _FakeRng(binomials=[1, 0, 1], rands=[0.9])
+    s2 = ds2[0]
+    assert s2["left"].shape == (h, w, 3)
+
+    # eval split zeroes rows < 130 (here the whole 54-row image)
+    ds3 = get_dataset("kitti15", str(tmp_path), split="train_eval",
+                      is_training=False, img_size=(h, w))
+    assert (ds3[0]["gt"] == 0).all()
+
+
 def test_loader_batching_and_order(tmp_path):
     from decnet_tpu.data.datasets import get_dataset
     from decnet_tpu.data.loader import DataLoader
@@ -160,8 +275,12 @@ def test_augmentations(rng):
     r = np.random.RandomState(0)
     l2, r2 = augment.add_parallax_glare(left, right, r)
     assert l2.shape == left.shape and (l2 >= left - 1e-3).all()
-    r3 = augment.random_occlusion_patch(right, r, 10, 20)
+    r3 = augment.random_occlusion_patch(right, r)
     assert (r3 != right).any()
+    # KITTI15Mask.py:150-157 geometry: patch is a centred 2sh x 2sw mean-
+    # colour rectangle; everything outside one bounding box is untouched
+    diff_rows = np.where((r3 != right).any(axis=(1, 2)))[0]
+    assert diff_rows.size > 0 and np.all(np.diff(diff_rows) == 1)
     l4, r4 = augment.random_photometric(left, right, r)
     assert l4.shape == left.shape
     gl = (rng.rand(54, 81) * 20).astype(np.float32)

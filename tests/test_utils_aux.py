@@ -23,14 +23,46 @@ def test_occlusion_matches_reference_loop(rng):
     np.testing.assert_array_equal(got, want)
 
 
-def test_wavelet_masks_shapes(rng):
+def _wavelet_masks_oracle(img, levels, target=0.85):
+    """numpy transliteration of utils/Wavelet.py:66-117: per level, Haar
+    analysis of the running LL, max |HF| band, per-image min-max normalise,
+    adaptive decile threshold search (first t in 0.1..1.0 with
+    frac(norm <= t) >= 0.85), mask = norm >= t."""
+    gray = img.mean(axis=-1)
+    haar = {"lh": np.array([[0.5, 0.5], [-0.5, -0.5]], np.float32),
+            "hl": np.array([[0.5, -0.5], [0.5, -0.5]], np.float32),
+            "hh": np.array([[0.5, -0.5], [-0.5, 0.5]], np.float32)}
+    out = []
+    for _ in range(levels):
+        B, H, W = gray.shape
+        x = gray.reshape(B, H // 2, 2, W // 2, 2)
+        e = np.max([np.abs(np.einsum("bhiwj,ij->bhw", x, k))
+                    for k in haar.values()], axis=0)
+        gray = x.mean(axis=(2, 4))
+        masks = []
+        for im in e:
+            norm = (im - im.min()) / max(im.max() - im.min(), 1e-12)
+            for interval in np.arange(0, 1, 0.1):       # Wavelet.py:96
+                if (norm <= interval + 0.1).mean() >= target:
+                    masks.append((norm >= interval + 0.1).astype(np.float32))
+                    break
+        out.append(np.stack(masks))
+    return out[::-1]
+
+
+def test_wavelet_masks_match_reference_transliteration(rng):
     from decnet_tpu.ops.detail import wavelet_detail_masks
-    img = rng.rand(1, 64, 96, 3).astype(np.float32)
-    ms = wavelet_detail_masks(img, levels=3, percentile=85.0)
-    assert [m.shape for m in ms] == [(1, 8, 12), (1, 16, 24), (1, 32, 48)]
-    for m in ms:
-        d = float(np.asarray(m).mean())
-        assert 0.05 < d < 0.35  # ~15% above the 85th percentile
+    img = rng.rand(2, 64, 96, 3).astype(np.float32)
+    # add structure so energy distributions differ per image/level
+    img[0, 10:30, 20:60] *= 0.1
+    img[1, :, ::7] = 1.0
+    ms = wavelet_detail_masks(jnp.asarray(img), levels=3)
+    assert [m.shape for m in ms] == [(2, 8, 12), (2, 16, 24), (2, 32, 48)]
+    want = _wavelet_masks_oracle(img, levels=3)
+    for got, ref in zip(ms, want):
+        np.testing.assert_array_equal(np.asarray(got), ref)
+    for m in ms:  # adaptive threshold keeps density <= 1 - target
+        assert float(np.asarray(m).mean()) <= 0.15 + 1e-6
 
 
 def test_show_imgs_saves_file(tmp_path, rng):
