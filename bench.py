@@ -44,17 +44,6 @@ def main():
 
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
-    # Precomputed detail masks, as in the reference's headline eval path
-    # (eval.sh:1 loads mask pickles; demo.py:161-162 computes them at
-    # thold=0.3). The matching kernels skip empty mask tiles, so benching
-    # with realistic mask density (structured synthetic scenes, not noise)
-    # is what makes the number honest.
-    cfg = ModelConfig(max_disp=216, base_channels=8, num_stage=4,
-                      down_scale=3, cost_func="cor", use_detail=False,
-                      s2d_fine=on_tpu,
-                      dtype="bfloat16" if on_tpu else "float32",
-                      matching_impl="auto")
-    model = get_model("decnet", cfg)
     H, W = (540, 972) if on_tpu else (54, 108)
     # batch sweep on v5e (scripts/bench_batch.py): B=2 64.3, B=4 74.1,
     # B=8 59.9 pairs/s -> serve at B=4
@@ -79,48 +68,87 @@ def main():
                    for i in range(3)]
     density = float(np.mean([m[-1].mean() for m in lmasks]))
 
-    ih, iw = 54, 54
-    init_masks = [jnp.zeros((1, ih // s, iw // s)) for s in (9, 3, 1)]
-    variables = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((1, ih, iw, 3)),
-                           jnp.zeros((1, ih, iw, 3)),
-                           init_masks, init_masks)
+    def bench_variant(s2d: bool):
+        """Measure one model variant; returns (pairs/s, flops/pair)."""
+        # Precomputed detail masks, as in the reference's headline eval path
+        # (eval.sh:1 loads mask pickles; demo.py:161-162 computes them at
+        # thold=0.3). The matching kernels skip empty mask tiles, so benching
+        # with realistic mask density (structured synthetic scenes, not
+        # noise) is what makes the number honest.
+        cfg = ModelConfig(max_disp=216, base_channels=8, num_stage=4,
+                          down_scale=3, cost_func="cor", use_detail=False,
+                          s2d_fine=s2d,
+                          dtype="bfloat16" if on_tpu else "float32",
+                          matching_impl="auto")
+        model = get_model("decnet", cfg)
+        ih, iw = 54, 54
+        init_masks = [jnp.zeros((1, ih // s, iw // s)) for s in (9, 3, 1)]
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, ih, iw, 3)),
+                               jnp.zeros((1, ih, iw, 3)),
+                               init_masks, init_masks)
 
-    # Chained timing: each iteration's input depends on the previous output,
-    # so async dispatch / result caching cannot elide real device work (the
-    # harness's remote runtime has shown both failure modes). Weights are
-    # closed over (the serving configuration — weights are fixed); passing
-    # them as jit arguments costs ~25% on v5e (scripts/bench_batch.py).
-    @jax.jit
-    def forward(carry):
-        pred = model.apply(variables, left + carry * 1e-12, right,
-                           left_masks, right_masks,
-                           train=False)["preds"][-1]
-        return pred.mean()
+        # Chained timing: each iteration's input depends on the previous
+        # output, so async dispatch / result caching cannot elide real device
+        # work (the harness's remote runtime has shown both failure modes).
+        # Weights are closed over (the serving configuration — weights are
+        # fixed); passing them as jit arguments costs ~25% on v5e
+        # (scripts/bench_batch.py).
+        @jax.jit
+        def forward(carry):
+            pred = model.apply(variables, left + carry * 1e-12, right,
+                               left_masks, right_masks,
+                               train=False)["preds"][-1]
+            return pred.mean()
 
-    carry = forward(jnp.float32(0))
-    jax.block_until_ready(carry)
-    # second warmup with the loop's own carry type/sharding so the timed loop
-    # never hits a retrace (a mid-loop remote recompile costs minutes here)
-    carry = forward(carry)
-    jax.block_until_ready(carry)
+        carry = forward(jnp.float32(0))
+        jax.block_until_ready(carry)
+        # second warmup with the loop's own carry type/sharding so the timed
+        # loop never hits a retrace (a mid-loop remote recompile costs
+        # minutes here)
+        carry = forward(carry)
+        jax.block_until_ready(carry)
+        # FLOPs anchor so pairs/s is self-checkable against the hardware
+        # ceiling (CLAUDE.md timing rules)
+        try:
+            cost = forward.lower(carry).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            flops_per_call = float(cost.get("flops", 0.0))
+        except Exception:
+            flops_per_call = 0.0
 
-    iters = 15 if on_tpu else 2
-    best_dt = None
-    final = 0.0
-    for _round in range(2):  # tunnel throughput can degrade; take best round
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            carry = forward(carry)
-        # NOTE: block_until_ready alone is not a reliable fence through the
-        # axon tunnel; an actual scalar readback is. Keep it inside the timer.
-        final = float(carry)
-        dt = time.perf_counter() - t0
-        best_dt = dt if best_dt is None else min(best_dt, dt)
-    pairs_per_sec = batch * iters / best_dt
-    assert np.isfinite(final)
+        iters = 15 if on_tpu else 2
+        best_dt = None
+        final = 0.0
+        for _round in range(2):  # tunnel throughput varies; take best round
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                carry = forward(carry)
+            # NOTE: block_until_ready alone is not a reliable fence through
+            # the axon tunnel; an actual scalar readback is. Keep it inside
+            # the timer.
+            final = float(carry)
+            dt = time.perf_counter() - t0
+            best_dt = dt if best_dt is None else min(best_dt, dt)
+        assert np.isfinite(final)
+        return batch * iters / best_dt, flops_per_call / batch
 
-    print(json.dumps({
+    # headline: the TPU-first s2d serving variant; the faithful
+    # (reference-parameterisation, checkpoint-compatible) path is reported
+    # alongside so perf and parity describe the same framework
+    pairs_per_sec, flops_pair = bench_variant(s2d=on_tpu)
+    faithful_pps, faithful_flops = bench_variant(s2d=False) if on_tpu \
+        else (pairs_per_sec, flops_pair)
+
+    tflops = pairs_per_sec * flops_pair / 1e12
+    peak = {"TPU v5e": 197.0, "TPU v5 lite": 197.0, "TPU v4": 275.0,
+            "TPU v6e": 918.0, "TPU v6 lite": 918.0}
+    kind = jax.devices()[0].device_kind if on_tpu else "cpu"
+    peak_tf = next((v for k, v in peak.items()
+                    if k.lower() in kind.lower()), None)
+
+    out = {
         "metric": "pairs_per_sec",
         "value": round(pairs_per_sec, 3),
         "unit": f"stereo pairs/s (540x972, max_disp 216, bf16, s2d, "
@@ -128,7 +156,15 @@ def main():
                 f"backend={backend})",
         "vs_baseline": round(pairs_per_sec / REFERENCE_PAIRS_PER_SEC_ESTIMATE,
                              3),
-    }))
+        "faithful_pairs_per_sec": round(faithful_pps, 3),
+        "flops_per_pair_G": round(flops_pair / 1e9, 2),
+        "faithful_flops_per_pair_G": round(faithful_flops / 1e9, 2),
+        "achieved_tflops_per_sec": round(tflops, 3),
+        "device_kind": kind,
+    }
+    if peak_tf:
+        out["mfu_pct"] = round(100.0 * tflops / peak_tf, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

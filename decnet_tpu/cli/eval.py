@@ -69,11 +69,16 @@ def main(argv=None):
     os.makedirs(args.save2where, exist_ok=True)
     err_dir = os.path.join(args.save2where, "Errors")
     for bi, batch in enumerate(loader):
-        # Middlebury: per-scene ndisp drives max_disp (eval.py:174-175),
-        # bucketed to x27 so compiles are reused.
-        nd = int(max(batch["n_disp"])) if isinstance(batch["n_disp"], list) \
-            else cfg.model.max_disp
-        nd = int(np.ceil(nd / 27) * 27)
+        # Middlebury: per-scene ndisp drives max_disp (eval.py:174-175).
+        # The forward's hypothesis range must be one static value per jit
+        # call: use the batch max, bucketed to x27 so compiles are reused
+        # (exact reference parity at batch_size 1, its Middlebury setting);
+        # metrics below use each sample's own ndisp for the valid mask.
+        if isinstance(batch["n_disp"], list):
+            per_sample_nd = [int(x) for x in batch["n_disp"]]
+        else:
+            per_sample_nd = [cfg.model.max_disp] * len(batch["left"])
+        nd = int(np.ceil(max(per_sample_nd) / 27) * 27)
         fwd = forward_for(nd)
         t0 = time.perf_counter()
         try:
@@ -96,12 +101,18 @@ def main(argv=None):
         times.append(time.perf_counter() - t0)
 
         if args.is_eval:
-            epe, d1 = epe_and_d1(jnp.asarray(pred),
-                                 jnp.asarray(batch["gt"]), nd)
-            epes.append(float(epe))
-            d1s.append(float(d1))
-            print(f"batch {bi}: EPE {epes[-1]:.4f}  loss_3 {d1s[-1]:.3f}%  "
-                  f"({times[-1]:.3f}s)")
+            # per-sample valid mask 0 < gt < its own ndisp (eval.py:174-175
+            # sets model.max_disp per scene; batches may be heterogeneous)
+            b_epes, b_d1s = [], []
+            for i, snd in enumerate(per_sample_nd):
+                epe, d1 = epe_and_d1(jnp.asarray(pred[i:i + 1]),
+                                     jnp.asarray(batch["gt"][i:i + 1]), snd)
+                b_epes.append(float(epe))
+                b_d1s.append(float(d1))
+            epes.extend(b_epes)
+            d1s.extend(b_d1s)
+            print(f"batch {bi}: EPE {np.mean(b_epes):.4f}  "
+                  f"loss_3 {np.mean(b_d1s):.3f}%  ({times[-1]:.3f}s)")
         else:
             for i, name in enumerate(batch["name"]):
                 dio.write_submission_png(

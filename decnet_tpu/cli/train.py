@@ -78,9 +78,18 @@ def main(argv=None):
                      scale=cfg.model.down_scale,
                      levels=cfg.model.num_stage - 1, seed=cfg.train.seed,
                      **ds_kw)
-    loader = DataLoader(ds, batch_size=cfg.train.batch_size, shuffle=True,
+    # cfg.train.batch_size is the GLOBAL batch; each process loads only its
+    # share and shard_batch assembles the global array from the local rows
+    # (jax.make_array_from_process_local_data — no full-batch broadcast).
+    nproc, pidx = jax.process_count(), jax.process_index()
+    assert cfg.train.batch_size % nproc == 0, (
+        f"global batch {cfg.train.batch_size} not divisible by "
+        f"{nproc} processes")
+    local_bs = cfg.train.batch_size // nproc
+    shard = (pidx, nproc) if nproc > 1 else None
+    loader = DataLoader(ds, batch_size=local_bs, shuffle=True,
                         num_workers=cfg.data.num_workers, drop_last=True,
-                        seed=cfg.train.seed)
+                        seed=cfg.train.seed, shard=shard)
 
     eval_loader = None
     eval_step = None
@@ -90,9 +99,9 @@ def main(argv=None):
                               img_size=(cfg.train.crop_h, cfg.train.crop_w),
                               scale=cfg.model.down_scale,
                               levels=cfg.model.num_stage - 1)
-        eval_loader = DataLoader(eval_ds, batch_size=cfg.train.batch_size,
+        eval_loader = DataLoader(eval_ds, batch_size=local_bs,
                                  num_workers=cfg.data.num_workers,
-                                 drop_last=True)
+                                 drop_last=True, shard=shard)
         eval_step = make_eval_step(model, cfg)
 
     def run_eval(state):
@@ -112,36 +121,40 @@ def main(argv=None):
     t_log = time.perf_counter()
     print(f"training from step {step} to {cfg.train.total_steps} "
           f"(mesh {dict(zip(mesh.axis_names, mesh.devices.shape))})")
-    while step < cfg.train.total_steps:
-        for batch in loader:
-            batch.pop("name", None)
-            batch.pop("ori_h", None)
-            batch.pop("ori_w", None)
-            batch.pop("n_disp", None)
-            batch = shard_batch(batch, mesh)
-            state, logs = train_step(state, batch)
-            step += 1
-            if step % cfg.train.log_every == 0:
-                logs = {k: float(v) for k, v in logs.items()}
-                dt = time.perf_counter() - t_log
-                t_log = time.perf_counter()
-                print(json.dumps({"step": step,
-                                  "loss": round(logs["total"], 5),
-                                  "grad_norm": round(logs["grad_norm"], 4),
-                                  "steps_per_sec":
-                                      round(cfg.train.log_every / dt, 3),
-                                  **{k: round(v, 5) for k, v in logs.items()
-                                     if k not in ("total", "grad_norm")}}))
-            if eval_loader is not None and step % args.eval_every == 0:
-                epe, d1 = run_eval(state)
-                print(json.dumps({"step": step, "eval_epe": round(epe, 4),
-                                  "eval_d1": round(d1, 3)}))
-            if step % cfg.train.ckpt_every == 0 and \
-                    jax.process_index() == 0:
-                mgr.save(step, state)
-                print(f"saved checkpoint @ {step}")
-            if step >= cfg.train.total_steps:
-                break
+    # trace under the mesh context so the model's PartitionSpec sharding
+    # constraints (disp-axis cost volume) resolve against this mesh
+    with mesh:
+        while step < cfg.train.total_steps:
+            for batch in loader:
+                batch.pop("name", None)
+                batch.pop("ori_h", None)
+                batch.pop("ori_w", None)
+                batch.pop("n_disp", None)
+                batch = shard_batch(batch, mesh)
+                state, logs = train_step(state, batch)
+                step += 1
+                if step % cfg.train.log_every == 0:
+                    logs = {k: float(v) for k, v in logs.items()}
+                    dt = time.perf_counter() - t_log
+                    t_log = time.perf_counter()
+                    print(json.dumps(
+                        {"step": step,
+                         "loss": round(logs["total"], 5),
+                         "grad_norm": round(logs["grad_norm"], 4),
+                         "steps_per_sec":
+                             round(cfg.train.log_every / dt, 3),
+                         **{k: round(v, 5) for k, v in logs.items()
+                            if k not in ("total", "grad_norm")}}))
+                if eval_loader is not None and step % args.eval_every == 0:
+                    epe, d1 = run_eval(state)
+                    print(json.dumps({"step": step, "eval_epe": round(epe, 4),
+                                      "eval_d1": round(d1, 3)}))
+                if step % cfg.train.ckpt_every == 0 and \
+                        jax.process_index() == 0:
+                    mgr.save(step, state)
+                    print(f"saved checkpoint @ {step}")
+                if step >= cfg.train.total_steps:
+                    break
 
     if jax.process_index() == 0:
         mgr.save(step, state)

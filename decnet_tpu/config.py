@@ -161,7 +161,15 @@ def _parse_value(val: str, old):
     if isinstance(old, float):
         return float(val)
     if isinstance(old, (tuple, list)):
-        return tuple(json.loads(val) if val.startswith("[")
-                     else [float(x) if "." in x or "-" in x else int(x)
-                           for x in val.split(",")])
+        if val.startswith("["):
+            return tuple(json.loads(val))
+        return tuple(_int_or_float(x) for x in val.split(","))
     return val
+
+
+def _int_or_float(x: str):
+    """Parse '-1' as int(-1), '1.5' as float (negative ints stay ints)."""
+    try:
+        return int(x)
+    except ValueError:
+        return float(x)

@@ -32,7 +32,11 @@ def collate(samples: List[Dict]) -> Dict:
 class DataLoader:
     def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False,
                  num_workers: int = 4, seed: int = 0, drop_last: bool = False,
-                 prefetch: int = 4):
+                 prefetch: int = 4, shard: Optional[tuple] = None):
+        """`shard=(index, count)`: multi-host data sharding — this loader
+        yields only every count-th sample (after the seeded global shuffle,
+        which is identical on every process), so each host feeds a disjoint
+        subset; `batch_size` is then the PER-PROCESS batch size."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -40,16 +44,27 @@ class DataLoader:
         self.rng = np.random.RandomState(seed)
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.shard = shard
+
+    def _order(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        if self.shard is not None:
+            idx, count = self.shard
+            order = order[idx::count]
+        return order
 
     def __len__(self):
         n = len(self.dataset)
+        if self.shard is not None:
+            idx, count = self.shard
+            n = (n - idx + count - 1) // count
         return n // self.batch_size if self.drop_last else \
             -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator[Dict]:
-        order = np.arange(len(self.dataset))
-        if self.shuffle:
-            self.rng.shuffle(order)
+        order = self._order()
         batches = [order[i:i + self.batch_size]
                    for i in range(0, len(order), self.batch_size)]
         if self.drop_last:

@@ -36,6 +36,7 @@ from decnet_tpu.ops.regression import uniform_disp_samples, disparity_regression
 from decnet_tpu.ops.matching import (sparse_matching_with_var,
                                      sparse_matching_with_var_rows)
 from decnet_tpu.ops.resize import interpolate
+from decnet_tpu.parallel import mesh as mesh_lib
 
 
 class DecNet(nn.Module):
@@ -86,8 +87,13 @@ class DecNet(nn.Module):
                 samples = uniform_disp_samples(cur_max_disp, B, H, W)
                 vol = build_cost_volume_uniform(lf, rf, cur_max_disp,
                                                 cfg.cost_func)
+                # disparity-hypothesis sharding: under a mesh context the S
+                # axis spans the `disp` axis through the 3D convs and the
+                # soft-argmin (psum-merged partial softmax); no-op otherwise
+                vol = mesh_lib.constrain(vol, mesh_lib.volume_spec())
                 cost = CostRegNet(lf.shape[-1], cfg.cost_func, dtype=dtype,
                                   name="cost_reg")(vol, train=train)
+                cost = mesh_lib.constrain(cost, mesh_lib.cost_spec())
                 pred = disparity_regression(cost, samples)
                 pre_left, pre_right = lf, rf
                 out["preds"].append(pred)

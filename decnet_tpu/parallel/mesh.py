@@ -63,8 +63,47 @@ def volume_spec() -> P:
     return P("data", "disp", "tile", None, None)
 
 
+def cost_spec() -> P:
+    """(B, S, H, W) regularised-cost partition spec."""
+    return P("data", "disp", "tile", None)
+
+
+def constrain(x, spec: P):
+    """`with_sharding_constraint` that degrades to a no-op without a mesh.
+
+    The model calls this on its stage-0 cost volume so that, when the caller
+    traces under a ``with mesh:`` context, the S (disparity-hypothesis) axis
+    is sharded across the `disp` mesh axis and GSPMD decomposes the
+    soft-argmin into psum-merged partial softmax stats (the same online-
+    softmax decomposition the reference's CUDA kernel uses per-thread,
+    SM_kernel.cu:100-124).  Outside any mesh context (single-chip inference,
+    CPU tests) the constraint is unresolvable and is skipped.
+    """
+    try:
+        return jax.lax.with_sharding_constraint(x, spec)
+    except (RuntimeError, ValueError, TypeError):
+        return x
+
+
 def shard_batch(batch, mesh: Mesh):
-    """Apply batch sharding to every array in a pytree."""
+    """Build globally-sharded device arrays from each process's LOCAL batch.
+
+    Single-process: a plain device_put onto the (data, tile) sharding.
+    Multi-process: each host feeds only the batch rows it loaded
+    (DataLoader(shard=(process_index, process_count)) samples a disjoint
+    subset), and `jax.make_array_from_process_local_data` assembles the
+    global array without any cross-host copy of the full batch — the
+    TPU-native replacement for nn.DataParallel's scatter
+    (reference eval.py:146).  Requires the mesh's `data` axis to span
+    processes evenly (the standard multi-host layout: batch divided across
+    hosts, tile/disp axes within a host's chips).
+    """
+    nproc = jax.process_count()
+
     def put(x):
-        return jax.device_put(x, batch_sharding(mesh, np.ndim(x)))
+        sharding = batch_sharding(mesh, np.ndim(x))
+        if nproc == 1:
+            return jax.device_put(x, sharding)
+        return jax.make_array_from_process_local_data(sharding,
+                                                      np.asarray(x))
     return jax.tree_util.tree_map(put, batch)
