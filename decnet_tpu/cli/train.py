@@ -69,15 +69,6 @@ def main(argv=None):
     state = jax.device_put(state, replicated(mesh))
     train_step = make_train_step(model, cfg)
 
-    ds_kw = {}
-    if args.dataset_length is not None:
-        ds_kw["length"] = args.dataset_length
-    ds = get_dataset(args.dataset, args.root, split=args.train_split,
-                     is_training=True, mask_source=args.mask_source,
-                     img_size=(cfg.train.crop_h, cfg.train.crop_w),
-                     scale=cfg.model.down_scale,
-                     levels=cfg.model.num_stage - 1, seed=cfg.train.seed,
-                     **ds_kw)
     # cfg.train.batch_size is the GLOBAL batch; each process loads only its
     # share and shard_batch assembles the global array from the local rows
     # (jax.make_array_from_process_local_data — no full-batch broadcast).
@@ -86,75 +77,137 @@ def main(argv=None):
         f"global batch {cfg.train.batch_size} not divisible by "
         f"{nproc} processes")
     local_bs = cfg.train.batch_size // nproc
-    shard = (pidx, nproc) if nproc > 1 else None
-    loader = DataLoader(ds, batch_size=local_bs, shuffle=True,
-                        num_workers=cfg.data.num_workers, drop_last=True,
-                        seed=cfg.train.seed, shard=shard)
 
-    eval_loader = None
-    eval_step = None
-    if args.eval_split:
-        eval_ds = get_dataset(args.dataset, args.root, split=args.eval_split,
-                              is_training=False, mask_source=args.mask_source,
-                              img_size=(cfg.train.crop_h, cfg.train.crop_w),
-                              scale=cfg.model.down_scale,
-                              levels=cfg.model.num_stage - 1)
-        eval_loader = DataLoader(eval_ds, batch_size=local_bs,
-                                 num_workers=cfg.data.num_workers,
-                                 drop_last=True, shard=shard)
-        eval_step = make_eval_step(model, cfg)
+    eval_step = make_eval_step(model, cfg) if args.eval_split else None
+
+    if cfg.data.on_device:
+        # On-device synthetic stream: zero recurring host->device transfers
+        # (works around the remote-client transfer leak, scripts/diag_leak.py)
+        # and an infinite non-repeating dataset. Single-process only.
+        assert args.dataset == "synthetic", "on_device data is synthetic-only"
+        assert nproc == 1, "on_device data stream is single-process"
+        from decnet_tpu.data.device_synth import device_batch_stream
+        import jax.numpy as jnp
+        gen_kw = dict(batch=cfg.train.batch_size, h=cfg.train.crop_h,
+                      w=cfg.train.crop_w, max_disp=cfg.model.max_disp,
+                      scale=cfg.model.down_scale,
+                      levels=cfg.model.num_stage - 1,
+                      thold=cfg.data.mask_thold,
+                      dtype=jnp.bfloat16 if cfg.model.dtype == "bfloat16"
+                      else jnp.float32)
+        loader = device_batch_stream(cfg.train.seed,
+                                     start_step=int(state.step), **gen_kw)
+        eval_batches = None
+        if args.eval_split:
+            val_stream = device_batch_stream(cfg.train.seed, val=True,
+                                             **gen_kw)
+            eval_batches = [next(val_stream)
+                            for _ in range(args.eval_batches)]
+    else:
+        ds_kw = {}
+        if args.dataset_length is not None:
+            ds_kw["length"] = args.dataset_length
+        ds = get_dataset(args.dataset, args.root, split=args.train_split,
+                         is_training=True, mask_source=args.mask_source,
+                         img_size=(cfg.train.crop_h, cfg.train.crop_w),
+                         scale=cfg.model.down_scale,
+                         levels=cfg.model.num_stage - 1, seed=cfg.train.seed,
+                         **ds_kw)
+        shard = (pidx, nproc) if nproc > 1 else None
+        loader = DataLoader(ds, batch_size=local_bs, shuffle=True,
+                            num_workers=cfg.data.num_workers, drop_last=True,
+                            seed=cfg.train.seed, shard=shard)
+        eval_batches = None
+        if args.eval_split:
+            eval_ds = get_dataset(args.dataset, args.root,
+                                  split=args.eval_split, is_training=False,
+                                  mask_source=args.mask_source,
+                                  img_size=(cfg.train.crop_h,
+                                            cfg.train.crop_w),
+                                  scale=cfg.model.down_scale,
+                                  levels=cfg.model.num_stage - 1)
+            eval_loader = DataLoader(eval_ds, batch_size=local_bs,
+                                     num_workers=cfg.data.num_workers,
+                                     drop_last=True, shard=shard)
+            eval_batches = []
+            for bi, ebatch in enumerate(eval_loader):
+                if bi >= args.eval_batches:
+                    break
+                for k in ("name", "ori_h", "ori_w", "n_disp"):
+                    ebatch.pop(k, None)
+                # transfer eval data ONCE at startup, not per eval round
+                eval_batches.append(shard_batch(ebatch, mesh))
 
     def run_eval(state):
-        epes, d1s = [], []
-        for bi, ebatch in enumerate(eval_loader):
-            if bi >= args.eval_batches:
-                break
-            for k in ("name", "ori_h", "ori_w", "n_disp"):
-                ebatch.pop(k, None)
-            ebatch = shard_batch(ebatch, mesh)
-            m = eval_step(state, ebatch)
-            epes.append(float(m["epe"]))
-            d1s.append(float(m["d1"]))
-        return float(np.mean(epes)), float(np.mean(d1s))
+        ms = [eval_step(state, eb) for eb in eval_batches]
+        return {k: float(np.mean([float(m[k]) for m in ms]))
+                for k in ("epe", "d1", "epe_up0", "d1_up0")}
 
     step = int(state.step)
     t_log = time.perf_counter()
     print(f"training from step {step} to {cfg.train.total_steps} "
-          f"(mesh {dict(zip(mesh.axis_names, mesh.devices.shape))})")
+          f"(mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}, "
+          f"data={'on-device' if cfg.data.on_device else args.dataset})",
+          flush=True)
+    try:
+        import psutil
+        rss_proc = psutil.Process()
+    except Exception:
+        rss_proc = None
+
+    def batches():
+        if cfg.data.on_device:
+            yield from loader
+        else:
+            while True:
+                for batch in loader:
+                    for k in ("name", "ori_h", "ori_w", "n_disp"):
+                        batch.pop(k, None)
+                    yield shard_batch(batch, mesh)
+
     # trace under the mesh context so the model's PartitionSpec sharding
     # constraints (disp-axis cost volume) resolve against this mesh
     with mesh:
-        while step < cfg.train.total_steps:
-            for batch in loader:
-                batch.pop("name", None)
-                batch.pop("ori_h", None)
-                batch.pop("ori_w", None)
-                batch.pop("n_disp", None)
-                batch = shard_batch(batch, mesh)
-                state, logs = train_step(state, batch)
-                step += 1
-                if step % cfg.train.log_every == 0:
-                    logs = {k: float(v) for k, v in logs.items()}
-                    dt = time.perf_counter() - t_log
-                    t_log = time.perf_counter()
-                    print(json.dumps(
-                        {"step": step,
-                         "loss": round(logs["total"], 5),
-                         "grad_norm": round(logs["grad_norm"], 4),
-                         "steps_per_sec":
-                             round(cfg.train.log_every / dt, 3),
-                         **{k: round(v, 5) for k, v in logs.items()
-                            if k not in ("total", "grad_norm")}}))
-                if eval_loader is not None and step % args.eval_every == 0:
-                    epe, d1 = run_eval(state)
-                    print(json.dumps({"step": step, "eval_epe": round(epe, 4),
-                                      "eval_d1": round(d1, 3)}))
-                if step % cfg.train.ckpt_every == 0 and \
-                        jax.process_index() == 0:
-                    mgr.save(step, state)
-                    print(f"saved checkpoint @ {step}")
-                if step >= cfg.train.total_steps:
-                    break
+        for batch in batches():
+            state, logs = train_step(state, batch)
+            step += 1
+            if step % cfg.train.log_every == 0:
+                logs = {k: float(v) for k, v in logs.items()}
+                dt = time.perf_counter() - t_log
+                t_log = time.perf_counter()
+                print(json.dumps(
+                    {"step": step,
+                     "loss": round(logs["total"], 5),
+                     "grad_norm": round(logs["grad_norm"], 4),
+                     "steps_per_sec":
+                         round(cfg.train.log_every / dt, 3),
+                     **{k: round(v, 5) for k, v in logs.items()
+                        if k not in ("total", "grad_norm")}}), flush=True)
+                # Host-RSS guard: checkpoint + exit(75) so a supervisor
+                # (scripts/train_supervised.sh) restarts and resumes.
+                if rss_proc is not None and cfg.train.max_rss_gb > 0:
+                    rss_gb = rss_proc.memory_info().rss / 1e9
+                    if rss_gb > cfg.train.max_rss_gb:
+                        if jax.process_index() == 0:
+                            mgr.save(step, state)
+                        print(f"RSS {rss_gb:.1f} GB > "
+                              f"{cfg.train.max_rss_gb} GB; checkpointed @ "
+                              f"{step}, exiting 75 for restart", flush=True)
+                        raise SystemExit(75)
+            if eval_step is not None and step % args.eval_every == 0:
+                m = run_eval(state)
+                print(json.dumps({"step": step,
+                                  "eval_epe": round(m["epe"], 4),
+                                  "eval_d1": round(m["d1"], 3),
+                                  "eval_epe_up0": round(m["epe_up0"], 4),
+                                  "eval_d1_up0": round(m["d1_up0"], 3)}),
+                      flush=True)
+            if step % cfg.train.ckpt_every == 0 and \
+                    jax.process_index() == 0:
+                mgr.save(step, state)
+                print(f"saved checkpoint @ {step}", flush=True)
+            if step >= cfg.train.total_steps:
+                break
 
     if jax.process_index() == 0:
         mgr.save(step, state)

@@ -58,6 +58,12 @@ class LossConfig:
     down_func_name: str = "bicubic"     # GT pyramid: bilinear|bicubic|max|min
     if_overmask: bool = False           # mask sky rows (<108/down) for KITTI
     alpha: float = 0.1                  # detail-mask loss weight
+    # Multiplier on the sparse-matching term's reference coefficient
+    # 0.2/(10+3.75*stage) (loss.py:226-239). 1.0 = reference parity; the
+    # coefficient is so small (~0.01) that from-scratch runs at <100k steps
+    # never shape the features for matching — training recipes (which the
+    # reference never shipped) may raise it.
+    sparse_term_scale: float = 1.0
 
 
 @dataclasses.dataclass
@@ -75,6 +81,11 @@ class TrainConfig:
     ckpt_every: int = 2000
     log_every: int = 50
     keep_ckpts: int = 5
+    # Host-RSS guard: when process RSS exceeds this, save a checkpoint and
+    # exit(75) so a supervisor can restart-and-resume.  Works around the
+    # remote-TPU client leaking host memory per host->device transfer
+    # (scripts/diag_leak.py); harmless elsewhere. <=0 disables.
+    max_rss_gb: float = 80.0
 
 
 @dataclasses.dataclass
@@ -95,6 +106,10 @@ class DataConfig:
     num_workers: int = 4
     mask_thold: float = 0.3
     mask_source: str = "compute"        # compute | precomputed
+    # Generate synthetic batches on-device (data.device_synth): zero per-step
+    # host->device transfer and an infinite non-repeating stream. Only valid
+    # with dataset="synthetic".
+    on_device: bool = False
 
 
 @dataclasses.dataclass

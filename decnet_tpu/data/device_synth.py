@@ -1,0 +1,186 @@
+"""On-device synthetic stereo batch generator.
+
+A jit-compiled counterpart of :mod:`decnet_tpu.data.synthetic` that builds the
+whole training batch — textured left view, layered disparity with fine
+structures, geometrically warped right view, ImageNet normalisation, and
+Gaussian-residual detail masks — on the accelerator from a PRNG key.
+
+Why it exists (beyond speed): the remote-TPU runtime of this environment
+leaks ~the full transferred size of host memory on EVERY host->device
+transfer (scripts/diag_leak.py phases B-E: ~11.3 MB/step at batch 8,
+independent of sync, gc, or buffer reuse), which OOM-killed a 25k-step
+training run at step 9600.  Generating batches on device makes the steady
+-state training loop transfer ZERO bytes from the host, and gives an
+infinite, never-repeating data stream (fresh fold_in key per step) instead
+of a fixed-length memorisable set.
+
+The scene recipe mirrors synthetic.make_pair (smooth multi-scale texture,
+smooth disparity background, fronto-parallel boxes) and adds THIN STRUCTURES
+(1-6 px bars) whose disparity detail is destroyed by 1/27 downsampling —
+exactly the high-frequency content the decomposition model's sparse fine
+stages must recover (the paper's motivating case; reference README.md:2).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+
+from decnet_tpu.ops.detail import detail_masks
+from decnet_tpu.ops.resize import interpolate
+
+IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
+IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+
+
+def _smooth_field(key, b, h, w, cells, lo, hi):
+    """(B,h,w) bilinear upsample of a random (cells+1)^2 grid, in [lo,hi]."""
+    g = jax.random.uniform(key, (b, cells + 1, cells + 1, 1), jnp.float32)
+    v = interpolate(g, h, w, "bilinear")[..., 0]
+    return lo + (hi - lo) * v
+
+
+class _TexFn:
+    """Procedural scene texture T(x), sampleable at fractional x.
+
+    Both views sample the SAME function — left at x, right at x + d(x) — so
+    they are geometrically exact and equally sharp (warping one view's
+    *pixels* into the other smooths it by the interpolation kernel, which
+    collapses its detail-mask density and makes matching asymmetric).
+
+    Each component grid is pre-resized along H to full height (y is never
+    resampled; disparity shifts only x) and kept at its native W resolution;
+    sampling bilinearly interpolates along W at x * (gw-1)/(w-1).
+    """
+
+    def __init__(self, key, b, h, w, gains=(120.0, 80.0, 55.0),
+                 widths=None):
+        # component W-resolutions: coarse colour, mid detail, pixel noise
+        self.w = w
+        widths = widths or (6, 25, 2 * w)
+        self.grids = []
+        self.gains = gains
+        for i, (gw, gain) in enumerate(zip(widths, gains)):
+            key, k = jax.random.split(key)
+            gh = min(gw, 2 * h)
+            g = jax.random.uniform(k, (b, gh, gw, 3), jnp.float32)
+            # resize along H only (W stays at grid resolution)
+            g = interpolate(g, h, gw, "bilinear")
+            self.grids.append(g)
+
+    def __call__(self, x):
+        """x (B,h,w) fractional image-space coords -> (B,h,w,3) in [0,255]."""
+        out = 0.0
+        for g, gain in zip(self.grids, self.gains):
+            gw = g.shape[2]
+            gx = jnp.clip(x, 0.0, self.w - 1.0) * ((gw - 1.0) / (self.w - 1.0))
+            x0 = jnp.floor(gx).astype(jnp.int32)
+            fx = (gx - x0)[..., None]
+            x0 = jnp.clip(x0, 0, gw - 2)
+            g0 = jnp.take_along_axis(g, x0[..., None], axis=2)
+            g1 = jnp.take_along_axis(g, (x0 + 1)[..., None], axis=2)
+            out = out + gain * (g0 * (1 - fx) + g1 * fx)
+        return jnp.clip(out, 0, 255)
+
+
+def _rect_overlay(key, disp, n, h_rng, w_rng, d_rng, max_disp):
+    """Overlay `n` fronto-parallel rectangles per sample (later wins).
+
+    h_rng/w_rng are (lo, hi) fractions of H/W for the rectangle size; d_rng
+    is the disparity range as a fraction of max_disp."""
+    B, H, W = disp.shape
+    ys = jnp.arange(H, dtype=jnp.float32)[None, :, None]
+    xs = jnp.arange(W, dtype=jnp.float32)[None, None, :]
+    for i in range(n):
+        key, k1 = jax.random.split(key)
+        u = jax.random.uniform(k1, (5, B), jnp.float32)
+        bh = (h_rng[0] + (h_rng[1] - h_rng[0]) * u[0]) * H
+        bw = (w_rng[0] + (w_rng[1] - w_rng[0]) * u[1]) * W
+        y0 = u[2] * (H - bh)
+        x0 = u[3] * (W - bw)
+        d = (d_rng[0] + (d_rng[1] - d_rng[0]) * u[4]) * max_disp
+        inside = ((ys >= y0[:, None, None]) & (ys < (y0 + bh)[:, None, None])
+                  & (xs >= x0[:, None, None]) & (xs < (x0 + bw)[:, None, None]))
+        disp = jnp.where(inside, d[:, None, None], disp)
+    return disp
+
+
+@functools.partial(jax.jit, static_argnames=("batch", "h", "w", "max_disp",
+                                             "scale", "levels", "dtype"))
+def make_device_batch(key, *, batch: int, h: int, w: int, max_disp: int,
+                      scale: int = 3, levels: int = 3, thold: float = 0.3,
+                      dtype=jnp.float32) -> Dict:
+    """Generate one fully on-device training batch.
+
+    Returns the standard train-batch pytree: left/right (B,H,W,3) normalised
+    in `dtype`, gt (B,H,W) f32, left_masks/right_masks lists of (B,h_s,w_s)
+    f32 binary masks coarsest-first (resolutions H/scale^(levels-1)..H)."""
+    k_tex, k_bg, k_box, k_bar = jax.random.split(key, 4)
+
+    # --- disparity: smooth background + boxes + thin bars (fine detail)
+    disp = _smooth_field(k_bg, batch, h, w, 4, 0.1 * max_disp, 0.45 * max_disp)
+    disp = _rect_overlay(k_box, disp, 3, (1 / 8, 1 / 3), (1 / 8, 1 / 3),
+                         (0.5, 0.9), max_disp)
+    # thin structures: tall-narrow and short-wide bars 1-6 px thick whose
+    # disparity is lost at 1/27 resolution — the decomposition's target case
+    disp = _rect_overlay(k_bar, disp, 3, (0.25, 0.6), (0.004, 0.025),
+                         (0.55, 0.95), max_disp)
+    disp = _rect_overlay(jax.random.fold_in(k_bar, 1), disp, 3,
+                         (0.004, 0.04), (0.15, 0.5), (0.55, 0.95), max_disp)
+
+    # --- views: sample the shared procedural texture; left at x, right at
+    # x + d_right (exact epipolar geometry, equal sharpness in both views).
+    # d_right solves the fixed point d_r(u) = d_l(u + d_r(u)) so that left
+    # pixel x truly matches right pixel x - d_l(x) (except where occluded):
+    # starting from d_r = d_l and resampling converges on piecewise-smooth
+    # fields; the non-converged bands are exactly the occlusions.
+    tex = _TexFn(k_tex, batch, h, w)
+    xs = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, None, :],
+                          disp.shape)
+
+    def sample_w(f, x):
+        """Bilinear sample (B,h,w) field f along W at fractional x."""
+        xc = jnp.clip(x, 0.0, w - 1.0)
+        x0 = jnp.clip(jnp.floor(xc).astype(jnp.int32), 0, w - 2)
+        fx = xc - x0
+        f0 = jnp.take_along_axis(f, x0, axis=2)
+        f1 = jnp.take_along_axis(f, x0 + 1, axis=2)
+        return f0 * (1 - fx) + f1 * fx
+
+    d_r = disp
+    for _ in range(4):
+        d_r = sample_w(disp, xs + d_r)
+
+    left = tex(xs)
+    src = xs + d_r
+    right = jnp.where((src > w - 1)[..., None], 0.0, tex(src))
+
+    # --- detail masks on the [0,1] images (same op the demo CLI uses)
+    lm = detail_masks(left / 255.0, scale, levels, thold)
+    rm = detail_masks(right / 255.0, scale, levels, thold)
+
+    def norm(img):
+        x = (img / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+        return x.astype(dtype)
+
+    return {"left": norm(left), "right": norm(right),
+            "gt": disp.astype(jnp.float32),
+            "left_masks": [m.astype(jnp.float32) for m in lm],
+            "right_masks": [m.astype(jnp.float32) for m in rm]}
+
+
+def device_batch_stream(seed: int, *, batch: int, h: int, w: int,
+                        max_disp: int, scale: int = 3, levels: int = 3,
+                        thold: float = 0.3, dtype=jnp.float32,
+                        start_step: int = 0, val: bool = False):
+    """Infinite iterator of on-device batches; step-keyed so resume at step N
+    regenerates the same stream.  `val=True` uses a disjoint key root."""
+    root = jax.random.fold_in(jax.random.PRNGKey(seed), 1 if val else 0)
+    step = start_step
+    while True:
+        yield make_device_batch(jax.random.fold_in(root, step), batch=batch,
+                                h=h, w=w, max_disp=max_disp, scale=scale,
+                                levels=levels, thold=thold, dtype=dtype)
+        step += 1

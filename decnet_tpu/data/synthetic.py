@@ -48,6 +48,21 @@ def make_pair(rng: np.random.RandomState, h: int, w: int, max_disp: int
         y = rng.randint(0, h - bh)
         x = rng.randint(0, w - bw)
         disp[y:y + bh, x:x + bw] = rng.uniform(0.5, 0.9) * max_disp
+    # thin structures (1-6 px bars): disparity detail destroyed by 1/27
+    # downsampling, i.e. exactly what the sparse fine stages must recover
+    # (mirrors data.device_synth.make_device_batch)
+    for _ in range(3):
+        bw = max(1, int(rng.uniform(0.004, 0.025) * w))
+        bh = rng.randint(h // 4, int(h * 0.6))
+        y = rng.randint(0, h - bh)
+        x = rng.randint(0, w - bw)
+        disp[y:y + bh, x:x + bw] = rng.uniform(0.55, 0.95) * max_disp
+    for _ in range(3):
+        bh = max(1, int(rng.uniform(0.004, 0.04) * h))
+        bw = rng.randint(w // 6, w // 2)
+        y = rng.randint(0, h - bh)
+        x = rng.randint(0, w - bw)
+        disp[y:y + bh, x:x + bw] = rng.uniform(0.55, 0.95) * max_disp
     disp = disp.astype(np.float32)
 
     # right view: inverse-warp left at x + d_right. Approximate right-view

@@ -83,9 +83,9 @@ def multi_stage_uploss(outputs: Dict, gt: jax.Array, cfg: LossConfig,
         sparse_l = masked_mean(smooth_l1(sparse * down, cur_gt * down), whole)
         fusion_l = masked_mean(smooth_l1(fusion * down, cur_gt * down), valid)
         pred_l = masked_mean(smooth_l1(preds[stage] * down, cur_gt * down), valid)
+        sparse_w = cfg.sparse_term_scale * 0.2 / (10.0 + 3.75 * stage)
         total = total + w * (0.5 * pred_l + 0.1 * dense_l
-                             + 0.2 / (10.0 + 3.75 * stage) * sparse_l
-                             + 0.2 * fusion_l)
+                             + sparse_w * sparse_l + 0.2 * fusion_l)
         logs[f"stage{stage}/pred"] = pred_l
         logs[f"stage{stage}/dense"] = dense_l
         logs[f"stage{stage}/sparse"] = sparse_l

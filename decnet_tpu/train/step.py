@@ -67,7 +67,18 @@ def make_eval_step(model, cfg: Config):
                           batch.get("left_masks"), batch.get("right_masks"),
                           train=False)
         epe, d1 = epe_and_d1(out["preds"][-1], batch["gt"], mcfg.max_disp)
-        return {"epe": epe, "d1": d1, "pred": out["preds"][-1]}
+        # Decomposition-win anchor: EPE of the coarse stage-0 prediction
+        # naively bicubic-upsampled to full resolution (the baseline the
+        # fine sparse/dense stages must beat — reference README.md:2; same
+        # escape hatch as skip_stage_id, SparseDenseNetRefinementMask.py:143).
+        from decnet_tpu.ops.resize import interpolate
+        coarse = out["preds"][0]
+        gt = batch["gt"]
+        up = interpolate(coarse * (gt.shape[1] / coarse.shape[1]),
+                         gt.shape[1], gt.shape[2], "bicubic")
+        epe_up0, d1_up0 = epe_and_d1(up, gt, mcfg.max_disp)
+        return {"epe": epe, "d1": d1, "epe_up0": epe_up0, "d1_up0": d1_up0,
+                "pred": out["preds"][-1]}
 
     return eval_step
 

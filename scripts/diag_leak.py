@@ -58,13 +58,36 @@ def rss_mb():
     return proc.memory_info().rss / 1e6
 
 
-def run(n, fresh, sync_every=0, gc_every=0, label=""):
+_staging = None
+
+
+def staged_host_batch():
+    """Fresh data written IN PLACE into persistent numpy buffers: tests
+    whether the axon client's per-transfer host leak keys on buffer
+    identity (E) or on each device_put call regardless (leak persists)."""
+    global _staging
+    fresh = make_host_batch()
+    if _staging is None:
+        _staging = fresh
+        return _staging
+    for k, v in fresh.items():
+        if isinstance(v, list):
+            for dst, src in zip(_staging[k], v):
+                np.copyto(dst, src)
+        else:
+            np.copyto(_staging[k], v)
+    return _staging
+
+
+def run(n, fresh, sync_every=0, gc_every=0, label="", staged=False):
     global state
     base = None
     with mesh:
         fixed = shard_batch(make_host_batch(), mesh)
         for i in range(n):
-            batch = shard_batch(make_host_batch(), mesh) if fresh else fixed
+            batch = shard_batch(staged_host_batch() if staged
+                                else make_host_batch(), mesh) if fresh \
+                else fixed
             state, logs = train_step(state, batch)
             if sync_every and (i + 1) % sync_every == 0:
                 float(logs["total"])
@@ -81,10 +104,13 @@ def run(n, fresh, sync_every=0, gc_every=0, label=""):
 
 
 print("jax backend:", jax.default_backend(), flush=True)
-run(100, fresh=False, sync_every=0, label="A fixed-batch  ")
-gc.collect()
-run(100, fresh=True, sync_every=0, label="B fresh-batch  ")
-gc.collect()
-run(100, fresh=True, sync_every=1, label="C fresh+sync1  ")
-gc.collect()
-run(100, fresh=True, sync_every=0, gc_every=10, label="D fresh+gc10   ")
+if os.environ.get("DIAG_PHASE", "E") == "ALL":
+    run(100, fresh=False, sync_every=0, label="A fixed-batch  ")
+    gc.collect()
+    run(100, fresh=True, sync_every=0, label="B fresh-batch  ")
+    gc.collect()
+    run(100, fresh=True, sync_every=1, label="C fresh+sync1  ")
+    gc.collect()
+    run(100, fresh=True, sync_every=0, gc_every=10, label="D fresh+gc10   ")
+else:
+    run(100, fresh=True, staged=True, label="E staged-bufs  ")

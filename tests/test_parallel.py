@@ -193,3 +193,20 @@ def test_make_mesh_shapes():
         {"data": 2, "tile": 2, "disp": 2}
     m2 = mesh_lib.make_mesh(MeshConfig(data=8))
     assert m2.devices.shape == (8, 1, 1)
+
+
+def test_shard_batch_global_array_construction(rng):
+    """shard_batch's multi-process assembly primitive
+    (jax.make_array_from_process_local_data) produces the same global array
+    as a plain device_put in the runnable single-process configuration, on
+    the real data x tile sharding over 8 CPU devices.  (True multi-process
+    assembly needs N hosts; this pins the API contract the train CLI relies
+    on — each process passes only its local rows.)"""
+    need_devices(8)
+    mesh = mesh_lib.make_mesh(MeshConfig(data=4, tile=2, disp=1))
+    x = rng.rand(8, 54, 54, 3).astype(np.float32)
+    sharding = mesh_lib.batch_sharding(mesh, 4)
+    got = jax.make_array_from_process_local_data(sharding, x)
+    want = jax.device_put(x, sharding)
+    assert got.sharding.is_equivalent_to(want.sharding, 4)
+    np.testing.assert_array_equal(np.asarray(got), x)

@@ -341,3 +341,92 @@ def test_anisotropic_diffusion_matches_reference_formula(rng):
     flat_cols = np.abs(sm - noisy)[:, [0, 1, 18, 19]]
     assert edge_cols.mean() < flat_cols.mean()
     assert abs(float(sm[:, 10].mean() - sm[:, 9].mean())) > 150
+
+
+def test_device_synth_batch_shapes_and_geometry(rng):
+    """On-device synthetic generator (data/device_synth.py): shapes match the
+    loader contract, masks sit on the stage grids, and left(x) photometrically
+    matches right(x - gt(x)) to within bilinear-sampling error."""
+    import jax
+    import jax.numpy as jnp
+    from decnet_tpu.data.device_synth import make_device_batch
+
+    b = make_device_batch(jax.random.PRNGKey(3), batch=2, h=54, w=81,
+                          max_disp=27, dtype=jnp.float32)
+    assert b["left"].shape == (2, 54, 81, 3)
+    assert b["right"].shape == (2, 54, 81, 3)
+    assert b["gt"].shape == (2, 54, 81)
+    assert [m.shape[1:] for m in b["left_masks"]] == \
+        [(6, 9), (18, 27), (54, 81)]
+    gt = np.asarray(b["gt"])
+    assert 0 < gt.min() and gt.max() <= 27.0
+
+    l = np.asarray(b["left"])
+    r = np.asarray(b["right"])
+    src = np.arange(81)[None, None, :] - gt
+    x0 = np.clip(np.floor(src).astype(int), 0, 79)
+    fx = (src - x0)[..., None]
+    g0 = np.take_along_axis(r, x0[..., None], axis=2)
+    g1 = np.take_along_axis(r, (x0 + 1)[..., None], axis=2)
+    warped = g0 * (1 - fx) + g1 * fx
+    err = np.abs(warped - l).mean(axis=-1)
+    valid = (src > 0) & (src < 80)
+    # median error far below image std => geometry is consistent
+    assert np.percentile(err[valid], 50) < 0.25 * l.std()
+
+    # determinism: same key -> same batch; different key -> different
+    b2 = make_device_batch(jax.random.PRNGKey(3), batch=2, h=54, w=81,
+                           max_disp=27, dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(b2["gt"]), gt)
+    b3 = make_device_batch(jax.random.PRNGKey(4), batch=2, h=54, w=81,
+                           max_disp=27, dtype=jnp.float32)
+    assert np.abs(np.asarray(b3["gt"]) - gt).max() > 1.0
+
+
+def test_device_synth_stream_resume(rng):
+    """device_batch_stream(start_step=N) regenerates the same batch N."""
+    import jax.numpy as jnp
+    from decnet_tpu.data.device_synth import device_batch_stream
+
+    kw = dict(batch=1, h=27, w=27, max_disp=9, dtype=jnp.float32)
+    s0 = device_batch_stream(7, **kw)
+    batches = [next(s0) for _ in range(3)]
+    s2 = device_batch_stream(7, start_step=2, **kw)
+    np.testing.assert_array_equal(np.asarray(next(s2)["gt"]),
+                                  np.asarray(batches[2]["gt"]))
+    # val stream is disjoint from train
+    sv = device_batch_stream(7, val=True, **kw)
+    assert np.abs(np.asarray(next(sv)["gt"])
+                  - np.asarray(batches[0]["gt"])).max() > 1.0
+
+
+def test_sparse_term_scale_default_is_reference_parity(rng):
+    """sparse_term_scale=1 reproduces the reference coefficient exactly;
+    scale k multiplies only the sparse term (loss.py:226-239)."""
+    import jax.numpy as jnp
+    from decnet_tpu.config import LossConfig
+    from decnet_tpu.train.loss import multi_stage_uploss
+
+    B, H, W = 1, 27, 27
+    gt = jnp.asarray(rng.rand(B, H, W).astype(np.float32) * 8 + 1)
+    out = {
+        "preds": [jnp.asarray(rng.rand(B, H // 9, W // 9) * 3),
+                  jnp.asarray(rng.rand(B, H // 3, W // 3) * 3),
+                  jnp.asarray(rng.rand(B, H, W) * 3)],
+        "dense": [jnp.asarray(rng.rand(B, H // 3, W // 3) * 3),
+                  jnp.asarray(rng.rand(B, H, W) * 3)],
+        "sparse": [jnp.asarray(rng.rand(B, H // 3, W // 3) * 3),
+                   jnp.asarray(rng.rand(B, H, W) * 3)],
+        "fusion": [jnp.asarray(rng.rand(B, H // 3, W // 3) * 3),
+                   jnp.asarray(rng.rand(B, H, W) * 3)],
+        "masks_used": [jnp.ones((B, H // 3, W // 3)), jnp.ones((B, H, W))],
+    }
+    cfg1 = LossConfig(weights=(1.0, 1.0, 1.0))
+    cfgk = LossConfig(weights=(1.0, 1.0, 1.0), sparse_term_scale=5.0)
+    t1, logs1 = multi_stage_uploss(out, gt, cfg1, 3, 3, 9)
+    tk, logsk = multi_stage_uploss(out, gt, cfgk, 3, 3, 9)
+    # scaling only adds (k-1) * sum_s w_s * coeff_s * sparse_l_s
+    expect = float(t1) + 4.0 * sum(
+        0.2 / (10.0 + 3.75 * s) * float(logs1[f"stage{s}/sparse"])
+        for s in (1, 2))
+    np.testing.assert_allclose(float(tk), expect, rtol=1e-5)
