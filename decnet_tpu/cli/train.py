@@ -41,6 +41,10 @@ def main(argv=None):
     p.add_argument("--mask_source", type=str, default="compute")
     p.add_argument("--dataset_length", type=int, default=None,
                    help="dataset length for synthetic data")
+    p.add_argument("--init_from", type=str, default=None,
+                   help="warm-start: partially load params/batch_stats from "
+                        "another run's checkpoint dir (shape/path-matched; "
+                        "optimizer and step start fresh)")
     args = p.parse_args(argv)
 
     enable_compilation_cache()
@@ -64,6 +68,9 @@ def main(argv=None):
     model, state, mgr = init_model_and_state(cfg, cfg.train.ckpt_dir)
     if mgr is None:
         mgr = CheckpointManager(cfg.train.ckpt_dir, keep=cfg.train.keep_ckpts)
+    if args.init_from and int(state.step) == 0:
+        src = CheckpointManager(args.init_from, keep=1)
+        state = src.restore_partial(state)
 
     mesh = make_mesh(cfg.mesh)
     state = jax.device_put(state, replicated(mesh))

@@ -55,6 +55,46 @@ class CheckpointManager:
                              step=int(restored["step"]))
 
 
+    def restore_partial(self, state: TrainState,
+                        step: Optional[int] = None) -> TrainState:
+        """Warm-start: copy every param/batch-stat whose path and shape match
+        from the checkpoint into a FRESH state (optimizer state and step are
+        left untouched).  Used to fine-tune a model with extra modules (e.g.
+        enabling use_detail adds detail-head params) from a checkpoint of the
+        smaller model.  Returns the merged state and prints a summary."""
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        raw = self._mgr.restore(step)   # as-saved tree (no template)
+
+        def merge(fresh, saved, label):
+            flat_f = dict(jax.tree_util.tree_flatten_with_path(fresh)[0])
+            flat_s = {tuple(str(p) for p in path): v for path, v
+                      in jax.tree_util.tree_flatten_with_path(saved)[0]}
+            hits = misses = 0
+            out = {}
+            for path, v in flat_f.items():
+                key = tuple(str(p) for p in path)
+                sv = flat_s.get(key)
+                if sv is not None and np.shape(sv) == np.shape(v):
+                    out[path] = jax.numpy.asarray(sv, v.dtype)
+                    hits += 1
+                else:
+                    out[path] = v
+                    misses += 1
+            print(f"warm-start {label}: {hits} restored, "
+                  f"{misses} fresh-initialised")
+            treedef = jax.tree_util.tree_structure(fresh)
+            return jax.tree_util.tree_unflatten(
+                treedef, [out[p] for p, _ in
+                          jax.tree_util.tree_flatten_with_path(fresh)[0]])
+
+        return state.replace(
+            params=merge(state.params, raw["params"], "params"),
+            batch_stats=merge(state.batch_stats, raw["batch_stats"],
+                              "batch_stats"))
+
+
 def save_params(path: str, variables: dict):
     """Single-file parameter snapshot (numpy npz of flattened pytree)."""
     flat = jax.tree_util.tree_flatten_with_path(variables)[0]

@@ -430,3 +430,55 @@ def test_sparse_term_scale_default_is_reference_parity(rng):
         0.2 / (10.0 + 3.75 * s) * float(logs1[f"stage{s}/sparse"])
         for s in (1, 2))
     np.testing.assert_allclose(float(tk), expect, rtol=1e-5)
+
+
+def test_checkpoint_restore_partial_warm_start(tmp_path, rng):
+    """Warm-start (CheckpointManager.restore_partial): params whose path and
+    shape match are loaded, extra modules keep their fresh init, and the
+    step/optimizer stay at zero — the use_detail fine-tune path."""
+    import jax
+    import jax.numpy as jnp
+    from decnet_tpu.config import Config
+    from decnet_tpu.cli.common import init_model_and_state
+    from decnet_tpu.train.checkpoint import CheckpointManager
+
+    cfg = Config()
+    cfg.model.max_disp = 27
+    cfg.model.base_channels = 4
+    cfg.model.use_detail = False
+    cfg.model.dtype = "float32"
+    cfg.model.matching_impl = "xla"
+
+    _, state, _ = init_model_and_state(cfg, None)
+    # perturb so restored values are distinguishable from a fresh init
+    state = state.replace(
+        params=jax.tree_util.tree_map(lambda x: x + 1.0, state.params),
+        step=777)
+    src = CheckpointManager(str(tmp_path / "src"), keep=1)
+    src.save(777, state)
+
+    cfg2 = Config()
+    cfg2.model.max_disp = 27
+    cfg2.model.base_channels = 4
+    cfg2.model.use_detail = True    # adds detail-head params
+    cfg2.model.dtype = "float32"
+    cfg2.model.matching_impl = "xla"
+    _, fresh, _ = init_model_and_state(cfg2, None)
+    merged = src.restore_partial(fresh)
+
+    assert int(merged.step) == 0    # optimizer/step untouched
+    flat_saved = {tuple(str(p) for p in path): v for path, v in
+                  jax.tree_util.tree_flatten_with_path(state.params)[0]}
+    flat_merged = dict(
+        jax.tree_util.tree_flatten_with_path(merged.params)[0])
+    hits = extra = 0
+    for path, v in flat_merged.items():
+        key = tuple(str(p) for p in path)
+        if key in flat_saved and np.shape(flat_saved[key]) == np.shape(v):
+            np.testing.assert_array_equal(np.asarray(v),
+                                          np.asarray(flat_saved[key]))
+            hits += 1
+        else:
+            extra += 1
+    assert hits > 10            # the shared trunk restored
+    assert extra > 0            # the detail heads exist and stayed fresh
