@@ -1,0 +1,102 @@
+"""Final accuracy report for a trained checkpoint on the synthetic val
+stream: per-stage EPE/D1, the bicubic-upsampled stage-0 baseline (the
+decomposition win's reference point), and the dense/sparse/fusion breakdown
+at the finest stage.  Run on the TPU after training:
+
+  python scripts/report_eval.py --ckpt /tmp/run_r2 [--s2d] [--use_detail]
+                                [--batches 16] [--json out.json]
+"""
+import sys, os, argparse, json
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from decnet_tpu.utils.cache import enable_compilation_cache
+enable_compilation_cache()
+import jax
+import jax.numpy as jnp
+import numpy as np
+from decnet_tpu.config import Config
+from decnet_tpu.train.metrics import epe_and_d1
+from decnet_tpu.data.device_synth import device_batch_stream
+from decnet_tpu.cli.common import init_model_and_state
+from decnet_tpu.ops.resize import interpolate
+
+p = argparse.ArgumentParser()
+p.add_argument("--ckpt", required=True)
+p.add_argument("--batches", type=int, default=16)
+p.add_argument("--s2d", action="store_true")
+p.add_argument("--use_detail", action="store_true")
+p.add_argument("--thold", type=float, default=0.9)
+p.add_argument("--json", type=str, default=None)
+p.add_argument("--seed", type=int, default=37)
+args = p.parse_args()
+
+cfg = Config()
+cfg.model.max_disp = 108
+cfg.model.use_detail = args.use_detail
+cfg.model.thold = args.thold
+cfg.model.dtype = "bfloat16"
+cfg.model.matching_impl = "auto"
+cfg.model.s2d_fine = args.s2d
+cfg.train.crop_h, cfg.train.crop_w = 162, 243
+cfg.train.batch_size = 8
+
+model, state, _ = init_model_and_state(cfg, args.ckpt)
+step = int(state.step)
+print(f"checkpoint step {step}  (s2d={args.s2d} use_detail={args.use_detail})")
+
+variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+@jax.jit
+def fwd(batch):
+    return model.apply(variables, batch["left"], batch["right"],
+                       batch.get("left_masks"), batch.get("right_masks"),
+                       train=False)
+
+stream = device_batch_stream(args.seed, val=True, batch=8, h=162, w=243,
+                             max_disp=108, dtype=jnp.bfloat16)
+
+acc = {}
+def add(k, epe, d1):
+    acc.setdefault(k, []).append((float(epe), float(d1)))
+
+dens = []
+for bi in range(args.batches):
+    batch = next(stream)
+    out = fwd(batch)
+    gt = batch["gt"]
+    for i, pred in enumerate(out["preds"]):
+        scale = gt.shape[1] // pred.shape[1]
+        g = gt[:, ::scale, ::scale] / scale if scale > 1 else gt
+        add(f"stage{i}", *epe_and_d1(pred, g, 108 // max(scale, 1)))
+    coarse = out["preds"][0]
+    up = interpolate(coarse * (gt.shape[1] / coarse.shape[1]),
+                     gt.shape[1], gt.shape[2], "bicubic")
+    add("up0_baseline", *epe_and_d1(up, gt, 108))
+    for k in ("dense", "fusion"):
+        if out.get(k):
+            add(f"final_{k}", *epe_and_d1(out[k][-1], gt, 108))
+    # sparse matching only fires at mask pixels (SpaMat outputs ~0
+    # elsewhere); its EPE and the fusion-vs-dense delta are measured there
+    if out.get("sparse") and out.get("masks_used"):
+        m = out["masks_used"][-1] > 0
+        valid = (gt > 0) & (gt < 108) & m
+        for k in ("dense", "sparse", "fusion"):
+            err = jnp.abs(out[k][-1].astype(jnp.float32) - gt)
+            v = valid.astype(jnp.float32)
+            add(f"mask_{k}",
+                (err * v).sum() / jnp.maximum(v.sum(), 1.0), 0.0)
+        dens.append(float(out["masks_used"][-1].mean()))
+
+report = {"step": step, "s2d": args.s2d, "use_detail": args.use_detail,
+          "batches": args.batches}
+for k, vals in acc.items():
+    report[k + "_epe"] = round(float(np.mean([v[0] for v in vals])), 4)
+    report[k + "_d1"] = round(float(np.mean([v[1] for v in vals])), 3)
+if dens:
+    report["mask_density"] = round(float(np.mean(dens)), 4)
+last = max(int(k[5]) for k in acc if k.startswith("stage"))
+report["decomposition_win_epe"] = round(
+    report["up0_baseline_epe"] - report[f"stage{last}_epe"], 4)
+print(json.dumps(report, indent=2))
+if args.json:
+    with open(args.json, "w") as f:
+        json.dump(report, f, indent=2)
