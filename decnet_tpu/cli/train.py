@@ -102,12 +102,12 @@ def main(argv=None):
                       thold=cfg.data.mask_thold,
                       dtype=jnp.bfloat16 if cfg.model.dtype == "bfloat16"
                       else jnp.float32)
-        loader = device_batch_stream(cfg.train.seed,
+        loader = device_batch_stream(cfg.train.seed, mesh=mesh,
                                      start_step=int(state.step), **gen_kw)
         eval_batches = None
         if args.eval_split:
             val_stream = device_batch_stream(cfg.train.seed, val=True,
-                                             **gen_kw)
+                                             mesh=mesh, **gen_kw)
             eval_batches = [next(val_stream)
                             for _ in range(args.eval_batches)]
     else:

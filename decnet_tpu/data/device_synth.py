@@ -174,13 +174,31 @@ def make_device_batch(key, *, batch: int, h: int, w: int, max_disp: int,
 def device_batch_stream(seed: int, *, batch: int, h: int, w: int,
                         max_disp: int, scale: int = 3, levels: int = 3,
                         thold: float = 0.3, dtype=jnp.float32,
-                        start_step: int = 0, val: bool = False):
+                        start_step: int = 0, val: bool = False, mesh=None):
     """Infinite iterator of on-device batches; step-keyed so resume at step N
-    regenerates the same stream.  `val=True` uses a disjoint key root."""
+    regenerates the same stream.  `val=True` uses a disjoint key root.
+
+    With `mesh`, every batch is generated directly INTO the mesh's batch
+    sharding (out_shardings on the jitted generator): the data lands
+    sharded across chips with no host involvement and no resharding copy —
+    the multi-chip twin of the leak-free single-chip path."""
     root = jax.random.fold_in(jax.random.PRNGKey(seed), 1 if val else 0)
+    kw = dict(batch=batch, h=h, w=w, max_disp=max_disp, scale=scale,
+              levels=levels, thold=thold, dtype=dtype)
+    if mesh is None:
+        def gen(key):
+            return make_device_batch(key, **kw)
+    else:
+        from decnet_tpu.parallel.mesh import batch_sharding
+        shapes = jax.eval_shape(functools.partial(make_device_batch, **kw),
+                                jax.random.PRNGKey(0))
+        shardings = jax.tree_util.tree_map(
+            lambda x: batch_sharding(mesh, x.ndim), shapes)
+        # __wrapped__ = the un-jitted generator; re-jit once with the mesh's
+        # output shardings so batches are born sharded
+        gen = jax.jit(functools.partial(make_device_batch.__wrapped__, **kw),
+                      out_shardings=shardings)
     step = start_step
     while True:
-        yield make_device_batch(jax.random.fold_in(root, step), batch=batch,
-                                h=h, w=w, max_disp=max_disp, scale=scale,
-                                levels=levels, thold=thold, dtype=dtype)
+        yield gen(jax.random.fold_in(root, step))
         step += 1

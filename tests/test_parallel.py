@@ -210,3 +210,22 @@ def test_shard_batch_global_array_construction(rng):
     want = jax.device_put(x, sharding)
     assert got.sharding.is_equivalent_to(want.sharding, 4)
     np.testing.assert_array_equal(np.asarray(got), x)
+
+
+def test_device_synth_sharded_generation(rng):
+    """device_batch_stream(mesh=...) generates batches born sharded across
+    the data x tile mesh, identical in value to the unsharded stream."""
+    need_devices(8)
+    import jax.numpy as jnp
+    from decnet_tpu.data.device_synth import device_batch_stream
+
+    kw = dict(batch=4, h=36, w=36, max_disp=12, dtype=jnp.float32)
+    plain = next(device_batch_stream(11, **kw))
+    mesh = mesh_lib.make_mesh(MeshConfig(data=4, tile=2, disp=1))
+    sharded = next(device_batch_stream(11, mesh=mesh, **kw))
+    np.testing.assert_allclose(np.asarray(sharded["gt"]),
+                               np.asarray(plain["gt"]), rtol=1e-6, atol=1e-6)
+    want = mesh_lib.batch_sharding(mesh, 4)
+    assert sharded["left"].sharding.is_equivalent_to(want, 4)
+    assert sharded["left_masks"][0].sharding.is_equivalent_to(
+        mesh_lib.batch_sharding(mesh, 3), 3)
