@@ -81,6 +81,9 @@ class TrainConfig:
     ckpt_every: int = 2000
     log_every: int = 50
     keep_ckpts: int = 5
+    # BN-freeze fine-tune: forward with the fixed running statistics (eval
+    # mode) while training, so weights adapt to the stats eval will use.
+    freeze_bn: bool = False
     # Host-RSS guard: when process RSS exceeds this, save a checkpoint and
     # exit(75) so a supervisor can restart-and-resume.  Works around the
     # remote-TPU client leaking host memory per host->device transfer

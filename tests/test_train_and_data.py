@@ -482,3 +482,49 @@ def test_checkpoint_restore_partial_warm_start(tmp_path, rng):
             extra += 1
     assert hits > 10            # the shared trunk restored
     assert extra > 0            # the detail heads exist and stayed fresh
+
+
+def test_freeze_bn_train_step_keeps_stats_and_learns(rng):
+    """freeze_bn=True: the train step normalises with (and never mutates)
+    the running BN statistics, while params still receive gradients."""
+    import jax
+    import jax.numpy as jnp
+    from decnet_tpu.config import Config
+    from decnet_tpu.cli.common import init_model_and_state
+    from decnet_tpu.train.step import make_train_step
+
+    cfg = Config()
+    cfg.model.max_disp = 27
+    cfg.model.base_channels = 4
+    cfg.model.use_detail = False
+    cfg.model.dtype = "float32"
+    cfg.model.matching_impl = "xla"
+    cfg.train.freeze_bn = True
+    cfg.train.lr_schedule = "constant"   # cosine warmup gives lr=0 at step 0
+    _, state, _ = init_model_and_state(cfg, None)
+
+    B, H, W = 2, 54, 54
+    r = np.random.RandomState(0)
+    batch = {
+        "left": jnp.asarray(r.rand(B, H, W, 3), jnp.float32),
+        "right": jnp.asarray(r.rand(B, H, W, 3), jnp.float32),
+        "gt": jnp.asarray(r.rand(B, H, W) * 20, jnp.float32),
+        "left_masks": [jnp.ones((B, H // s, W // s)) for s in (9, 3, 1)],
+        "right_masks": [jnp.ones((B, H // s, W // s)) for s in (9, 3, 1)],
+    }
+    from decnet_tpu.models import get_model
+    step = make_train_step(get_model("decnet", cfg.model), cfg, donate=False)
+    state2, logs = step(state, batch)
+    assert np.isfinite(float(logs["total"]))
+    # batch_stats bit-identical (frozen)
+    for (p1, a), (p2, b) in zip(
+            jax.tree_util.tree_flatten_with_path(state.batch_stats)[0],
+            jax.tree_util.tree_flatten_with_path(state2.batch_stats)[0]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # params moved
+    moved = any(
+        np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+        for (_, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(state.params)[0],
+            jax.tree_util.tree_flatten_with_path(state2.params)[0]))
+    assert moved
