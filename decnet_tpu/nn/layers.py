@@ -24,6 +24,54 @@ def _pair(v, n=2):
     return tuple(v) if isinstance(v, (tuple, list)) else (v,) * n
 
 
+class FoldedBatchNorm(nn.Module):
+    """Drop-in BatchNorm with the affine folded into the activation dtype.
+
+    flax's nn.BatchNorm promotes the activations to f32 to apply the
+    f32-stat affine — at bf16 that is a full f32 round trip of every
+    normalised tensor (measured: one f32[8,20,32,5,216] convert pair per
+    Conv3dUnit of the stage-0 cost regulariser, ~2-3 ms/fwd of pure HBM
+    glue at the flagship shape).  Here (mean, var, scale, bias) fold into
+    per-channel mul/ofs in f32 (tiny), which are cast ONCE to the
+    activation dtype so the normalisation is a bf16 fused-multiply-add XLA
+    folds into the producing conv's epilogue.
+
+    Variable names/shapes are identical to nn.BatchNorm (params
+    scale/bias, batch_stats mean/var; instantiated with name="BatchNorm_0")
+    so checkpoints and the torch-import name map are unaffected; stat
+    updates use the same biased-variance, `m*ra + (1-m)*new` convention.
+    Batch statistics are means over all non-channel axes, so under
+    jit+GSPMD they are global-batch stats (SyncBN) exactly like before.
+    """
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, *, use_running_average: bool):
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((C,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((C,), jnp.float32))
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mean = xf.mean(axes)
+            var = xf.var(axes)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1.0 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1.0 - self.momentum) * var)
+        mul = scale * jax.lax.rsqrt(var + self.epsilon)
+        ofs = bias - mean * mul
+        return x * mul.astype(x.dtype) + ofs.astype(x.dtype)
+
+
 class ConvUnit(nn.Module):
     """Conv2d + optional BatchNorm/GroupNorm + ReLU/LeakyReLU
     (reference Conv2dUnit, submodule.py:15-49)."""
@@ -50,9 +98,8 @@ class ConvUnit(nn.Module):
                     kernel_init=he_fan_out, dtype=self.dtype,
                     param_dtype=jnp.float32)(x)
         if self.bn:
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=self.dtype,
-                             param_dtype=jnp.float32)(x)
+            x = FoldedBatchNorm(name="BatchNorm_0")(
+                x, use_running_average=not train)
         elif self.gn:
             x = nn.GroupNorm(num_groups=self.gn_group, dtype=self.dtype,
                              param_dtype=jnp.float32)(x)
@@ -81,9 +128,8 @@ class DeconvUnit(nn.Module):
                              use_bias=not self.bn, kernel_init=he_fan_out,
                              dtype=self.dtype, param_dtype=jnp.float32)(x)
         if self.bn:
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=self.dtype,
-                             param_dtype=jnp.float32)(x)
+            x = FoldedBatchNorm(name="BatchNorm_0")(
+                x, use_running_average=not train)
         if self.relu:
             x = nn.relu(x)
         return x
@@ -109,9 +155,8 @@ class Conv3dUnit(nn.Module):
                     kernel_init=he_fan_out, dtype=self.dtype,
                     param_dtype=jnp.float32)(x)
         if self.bn:
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=self.dtype,
-                             param_dtype=jnp.float32)(x)
+            x = FoldedBatchNorm(name="BatchNorm_0")(
+                x, use_running_average=not train)
         if self.relu:
             x = nn.relu(x)
         return x

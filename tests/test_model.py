@@ -161,3 +161,62 @@ def test_s2d_train_step_decreases_loss(rng):
         losses.append(float(logs["total"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_folded_batchnorm_matches_flax(rng):
+    """FoldedBatchNorm == nn.BatchNorm in both modes (values, stat updates,
+    variable tree) — it only changes WHERE the affine is computed."""
+    import jax
+    import jax.numpy as jnp
+    import flax.linen as nn
+    from decnet_tpu.nn.layers import FoldedBatchNorm
+
+    x = jnp.asarray(rng.randn(4, 6, 5, 7).astype(np.float32) * 3 + 1)
+
+    class Ours(nn.Module):
+        @nn.compact
+        def __call__(self, x, train):
+            return FoldedBatchNorm(name="BatchNorm_0")(
+                x, use_running_average=not train)
+
+    class Flax(nn.Module):
+        @nn.compact
+        def __call__(self, x, train):
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-5, dtype=jnp.float32,
+                                param_dtype=jnp.float32)(x)
+
+    v_o = Ours().init(jax.random.PRNGKey(0), x, True)
+    v_f = Flax().init(jax.random.PRNGKey(0), x, True)
+    # identical variable tree (names, shapes)
+    fo = jax.tree_util.tree_flatten_with_path(v_o)[0]
+    ff = jax.tree_util.tree_flatten_with_path(v_f)[0]
+    assert [tuple(str(q) for q in p) for p, _ in fo] == \
+        [tuple(str(q) for q in p) for p, _ in ff]
+
+    # perturb params/stats so the affine is non-trivial
+    def bump(v):
+        return jax.tree_util.tree_map(
+            lambda a: a + jnp.arange(a.size, dtype=a.dtype) / a.size, v)
+    v_o, v_f = bump(v_o), bump(v_f)
+
+    # train mode: output + updated stats match
+    y_o, m_o = Ours().apply(v_o, x, True, mutable=["batch_stats"])
+    y_f, m_f = Flax().apply(v_f, x, True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(y_o), np.asarray(y_f),
+                               rtol=2e-5, atol=2e-5)
+    for (_, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(m_o)[0],
+            jax.tree_util.tree_flatten_with_path(m_f)[0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+    # eval mode
+    y_o = Ours().apply(v_o, x, False)
+    y_f = Flax().apply(v_f, x, False)
+    np.testing.assert_allclose(np.asarray(y_o), np.asarray(y_f),
+                               rtol=2e-5, atol=2e-5)
+
+    # bf16 activations: affine stays in bf16 (no f32 output promotion)
+    y_b = Ours().apply(v_o, x.astype(jnp.bfloat16), False)
+    assert y_b.dtype == jnp.bfloat16
