@@ -1,86 +1,111 @@
 """Synthetic random-stereogram dataset with exact ground-truth disparity.
 
-Generates smooth random disparity fields over procedurally textured scenes and
-warps the left view to produce a geometrically consistent right view.  Used
-for training smoke tests, convergence checks, and benchmarking without
-external data.  Registered as dataset name "synthetic".
+The HOST twin of :mod:`decnet_tpu.data.device_synth` — the same scene
+distribution generated with numpy so loader-fed runs, CLIs, and benchmarks
+see the data the on-device-trained models were trained on.  The recipe
+(shared with `make_device_batch`, kept in lockstep — a distribution-match
+test pins the two): a procedural texture *function* sampled by BOTH views
+(left at x, right at x + d_right; equal sharpness, exact epipolar geometry),
+layered disparity of a smooth background + fronto-parallel boxes + thin
+1-6 px structures whose detail 1/27 downsampling destroys.  Registered as
+dataset name "synthetic".
 """
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, List, Tuple
 
 import numpy as np
 
-from decnet_tpu.data import io as dio
-from decnet_tpu.data import masks as dmasks
 from decnet_tpu.data.datasets import StereoDataset, _DATASETS
+from decnet_tpu.ops.resize import _resize_matrix
 
 
-def _smooth_field(rng, h, w, cells=6, lo=0.0, hi=1.0):
-    g = rng.rand(cells + 3, cells + 3)
-    ys = np.linspace(0, cells - 1, h)
-    xs = np.linspace(0, cells - 1, w)
-    y0 = np.floor(ys).astype(int)
-    x0 = np.floor(xs).astype(int)
-    fy = (ys - y0)[:, None]
-    fx = (xs - x0)[None, :]
-    v = (g[y0][:, x0] * (1 - fy) * (1 - fx) + g[y0][:, x0 + 1] * (1 - fy) * fx
-         + g[y0 + 1][:, x0] * fy * (1 - fx) + g[y0 + 1][:, x0 + 1] * fy * fx)
+def _smooth_field(rng, h, w, cells, lo, hi):
+    """(h,w) bilinear upsample of a random (cells+1)^2 grid in [lo,hi] —
+    numpy twin of device_synth._smooth_field (same resize matrices)."""
+    g = rng.rand(cells + 1, cells + 1).astype(np.float32)
+    my = _resize_matrix(cells + 1, h, "bilinear")
+    mx = _resize_matrix(cells + 1, w, "bilinear")
+    v = my @ g @ mx.T
     return lo + (hi - lo) * v
+
+
+def _tex_grids(rng, h, w) -> List[Tuple[np.ndarray, float]]:
+    """Texture component grids, pre-resized along H (W stays native)."""
+    grids = []
+    for gw, gain in ((6, 120.0), (25, 80.0), (2 * w, 55.0)):
+        gh = min(gw, 2 * h)
+        g = rng.rand(gh, gw, 3).astype(np.float32)
+        my = _resize_matrix(gh, h, "bilinear")
+        grids.append((np.einsum("oh,hwc->owc", my, g), gain))
+    return grids
+
+
+def _tex(grids, x, w):
+    """Sample the texture function at fractional x (h,w) -> (h,w,3)."""
+    h = x.shape[0]
+    rows = np.arange(h)[:, None]
+    out = 0.0
+    for g, gain in grids:
+        gw = g.shape[1]
+        gx = np.clip(x, 0.0, w - 1.0) * ((gw - 1.0) / (w - 1.0))
+        x0 = np.clip(np.floor(gx).astype(np.int64), 0, gw - 2)
+        fx = (gx - x0)[..., None].astype(np.float32)
+        out = out + gain * (g[rows, x0] * (1 - fx) + g[rows, x0 + 1] * fx)
+    return np.clip(out, 0, 255)
+
+
+def _rect_overlay(rng, disp, n, h_rng, w_rng, d_rng, max_disp):
+    """Overlay n fronto-parallel rectangles (device_synth._rect_overlay)."""
+    h, w = disp.shape
+    ys = np.arange(h, dtype=np.float32)[:, None]
+    xs = np.arange(w, dtype=np.float32)[None, :]
+    for _ in range(n):
+        u = rng.rand(5).astype(np.float32)
+        bh = (h_rng[0] + (h_rng[1] - h_rng[0]) * u[0]) * h
+        bw = (w_rng[0] + (w_rng[1] - w_rng[0]) * u[1]) * w
+        y0 = u[2] * (h - bh)
+        x0 = u[3] * (w - bw)
+        d = (d_rng[0] + (d_rng[1] - d_rng[0]) * u[4]) * max_disp
+        inside = (ys >= y0) & (ys < y0 + bh) & (xs >= x0) & (xs < x0 + bw)
+        disp = np.where(inside, np.float32(d), disp)
+    return disp
 
 
 def make_pair(rng: np.random.RandomState, h: int, w: int, max_disp: int
               ) -> Dict[str, np.ndarray]:
-    """Returns dict(left, right (H,W,3) in [0,255], gt (H,W))."""
-    # textured left view: multi-scale noise + smooth colour field
-    left = np.zeros((h, w, 3), np.float32)
-    for c in range(3):
-        left[..., c] = (_smooth_field(rng, h, w, 5, 0.2, 0.8) * 120
-                        + _smooth_field(rng, h, w, 24, 0, 1) * 80
-                        + rng.rand(h, w) * 55)
-    left = np.clip(left, 0, 255)
-
-    # layered disparity: smooth background + a few fronto-parallel boxes
+    """Returns dict(left, right (H,W,3) in [0,255], gt (H,W)) — the numpy
+    twin of device_synth.make_device_batch (same scene distribution)."""
+    # disparity: smooth background + boxes + thin bars (fine detail)
     disp = _smooth_field(rng, h, w, 4, 0.1 * max_disp, 0.45 * max_disp)
-    for _ in range(rng.randint(2, 5)):
-        bh = rng.randint(h // 8, h // 3)
-        bw = rng.randint(w // 8, w // 3)
-        y = rng.randint(0, h - bh)
-        x = rng.randint(0, w - bw)
-        disp[y:y + bh, x:x + bw] = rng.uniform(0.5, 0.9) * max_disp
-    # thin structures (1-6 px bars): disparity detail destroyed by 1/27
-    # downsampling, i.e. exactly what the sparse fine stages must recover
-    # (mirrors data.device_synth.make_device_batch)
-    for _ in range(3):
-        bw = max(1, int(rng.uniform(0.004, 0.025) * w))
-        bh = rng.randint(h // 4, int(h * 0.6))
-        y = rng.randint(0, h - bh)
-        x = rng.randint(0, w - bw)
-        disp[y:y + bh, x:x + bw] = rng.uniform(0.55, 0.95) * max_disp
-    for _ in range(3):
-        bh = max(1, int(rng.uniform(0.004, 0.04) * h))
-        bw = rng.randint(w // 6, w // 2)
-        y = rng.randint(0, h - bh)
-        x = rng.randint(0, w - bw)
-        disp[y:y + bh, x:x + bw] = rng.uniform(0.55, 0.95) * max_disp
+    disp = _rect_overlay(rng, disp, 3, (1 / 8, 1 / 3), (1 / 8, 1 / 3),
+                         (0.5, 0.9), max_disp)
+    disp = _rect_overlay(rng, disp, 3, (0.25, 0.6), (0.004, 0.025),
+                         (0.55, 0.95), max_disp)
+    disp = _rect_overlay(rng, disp, 3, (0.004, 0.04), (0.15, 0.5),
+                         (0.55, 0.95), max_disp)
     disp = disp.astype(np.float32)
 
-    # right view: inverse-warp left at x + d_right. Approximate right-view
-    # disparity by resampling the left disparity (ok for smooth fields; box
-    # edges create the realistic occlusion artifacts).
-    xs = np.arange(w, dtype=np.float32)[None, :]
-    right = np.zeros_like(left)
-    src_x = xs + disp  # sample left at x + d
-    x0 = np.floor(src_x).astype(int)
-    fx = src_x - x0
-    x0c = np.clip(x0, 0, w - 1)
-    x1c = np.clip(x0 + 1, 0, w - 1)
+    # right-view disparity: fixed point d_r(u) = d_l(u + d_r(u)) so left
+    # pixel x truly matches right pixel x - d_l(x) (occlusions excepted)
+    xs = np.broadcast_to(np.arange(w, dtype=np.float32)[None, :], disp.shape)
     rows = np.arange(h)[:, None]
-    for c in range(3):
-        right[..., c] = (left[rows, x0c, c] * (1 - fx)
-                         + left[rows, x1c, c] * fx)
-    oob = (src_x > w - 1)
-    right[oob] = 0.0
+
+    def sample_w(f, x):
+        xc = np.clip(x, 0.0, w - 1.0)
+        x0 = np.clip(np.floor(xc).astype(np.int64), 0, w - 2)
+        fx = (xc - x0).astype(np.float32)
+        return f[rows, x0] * (1 - fx) + f[rows, x0 + 1] * fx
+
+    d_r = disp
+    for _ in range(4):
+        d_r = sample_w(disp, xs + d_r)
+
+    grids = _tex_grids(rng, h, w)
+    left = _tex(grids, xs, w).astype(np.float32)
+    src = xs + d_r
+    right = np.where((src > w - 1)[..., None], 0.0,
+                     _tex(grids, src, w)).astype(np.float32)
     return {"left": left, "right": right, "gt": disp}
 
 

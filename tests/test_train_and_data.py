@@ -528,3 +528,38 @@ def test_freeze_bn_train_step_keeps_stats_and_learns(rng):
             jax.tree_util.tree_flatten_with_path(state.params)[0],
             jax.tree_util.tree_flatten_with_path(state2.params)[0]))
     assert moved
+
+
+def test_host_and_device_synthetic_distributions_match(rng):
+    """The numpy synthetic generator and the on-device one draw from the
+    same scene distribution (models trained on one must transfer to the
+    other): image/disparity moments and detail-mask densities agree."""
+    import jax
+    import jax.numpy as jnp
+    from decnet_tpu.data.synthetic import make_pair
+    from decnet_tpu.data.device_synth import make_device_batch
+    from decnet_tpu.ops.detail import detail_masks
+
+    h, w, D = 54, 81, 27
+    host = [make_pair(np.random.RandomState(i), h, w, D) for i in range(8)]
+    dev = make_device_batch(jax.random.PRNGKey(0), batch=8, h=h, w=w,
+                            max_disp=D, dtype=jnp.float32)
+
+    h_img = np.stack([p["left"] for p in host])
+    d_img = np.asarray(dev["left"])
+    # device images are ImageNet-normalised; undo for comparison
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    d_img = (d_img * std + mean) * 255.0
+    assert abs(h_img.mean() - d_img.mean()) < 12.0
+    assert abs(h_img.std() - d_img.std()) < 12.0
+
+    h_gt = np.stack([p["gt"] for p in host])
+    d_gt = np.asarray(dev["gt"])
+    assert abs(h_gt.mean() - d_gt.mean()) < 3.0
+    assert abs(h_gt.std() - d_gt.std()) < 3.0
+
+    # full-res detail-mask density (drives the sparse branch) agrees
+    h_m = np.asarray(detail_masks(jnp.asarray(h_img / 255.0), 3, 3, 0.3)[-1])
+    d_m = np.asarray(dev["left_masks"][-1])
+    assert abs(h_m.mean() - d_m.mean()) < 0.05
