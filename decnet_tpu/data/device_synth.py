@@ -76,9 +76,13 @@ class _TexFn:
         for g, gain in zip(self.grids, self.gains):
             gw = g.shape[2]
             gx = jnp.clip(x, 0.0, self.w - 1.0) * ((gw - 1.0) / (self.w - 1.0))
-            x0 = jnp.floor(gx).astype(jnp.int32)
+            # clip BEFORE computing fx so the exact right edge interpolates
+            # to g[gw-1] (x0=gw-2, fx=1) instead of snapping to g[gw-2] —
+            # the snap put a sharp seam in the last column of every smooth
+            # texture component, which dominated the detail-mask min-max
+            # normalisation and collapsed mask density ~4x
+            x0 = jnp.clip(jnp.floor(gx).astype(jnp.int32), 0, gw - 2)
             fx = (gx - x0)[..., None]
-            x0 = jnp.clip(x0, 0, gw - 2)
             g0 = jnp.take_along_axis(g, x0[..., None], axis=2)
             g1 = jnp.take_along_axis(g, (x0 + 1)[..., None], axis=2)
             out = out + gain * (g0 * (1 - fx) + g1 * fx)
