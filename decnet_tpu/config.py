@@ -64,6 +64,10 @@ class LossConfig:
     # never shape the features for matching — training recipes (which the
     # reference never shipped) may raise it.
     sparse_term_scale: float = 1.0
+    # multi_stage_regression_upmaskloss eval mode (loss.py:343-345): binarise
+    # the predicted detail maps at this threshold before scoring them against
+    # the precomputed masks. None = train mode (soft predictions).
+    binary_thold: Optional[float] = None
 
 
 @dataclasses.dataclass
@@ -172,6 +176,14 @@ class Config:
 
 
 def _parse_value(val: str, old):
+    if val.lower() in ("none", "null") and not isinstance(old, str):
+        return None  # clear an optional field (e.g. loss.binary_thold)
+    if old is None:
+        # optional fields: best-effort literal parse
+        try:
+            return _int_or_float(val)
+        except ValueError:
+            return val
     if isinstance(old, bool):
         return val.lower() in ("1", "true", "yes")
     if isinstance(old, int):

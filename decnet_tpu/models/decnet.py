@@ -66,6 +66,11 @@ class DecNet(nn.Module):
         out: Dict[str, Any] = {k: [] for k in (
             "preds", "dense", "sparse", "fusion", "soft_mask", "var",
             "residual", "left_details", "right_details", "masks_used")}
+        # feature pyramids exposed for the LR-consistency loss (reference
+        # loss.py:398-424 reads left/right_feature_map_all); XLA dead-code
+        # eliminates them for callers that don't use them
+        out["left_feats"] = left_all
+        out["right_feats"] = right_all
 
         pred = None
         pre_left = pre_right = None

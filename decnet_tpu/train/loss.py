@@ -168,15 +168,63 @@ def lr_consistency_loss(preds: Sequence[jax.Array],
     return total
 
 
-def chamfer_loss(pred: jax.Array, gt: jax.Array, down_ratio: int) -> jax.Array:
-    """Repaired sparse chamfer (loss.py:67-84 + Huber): min squared distance
-    from each coarse prediction to any valid GT in its down_ratio cell,
-    sqrt'ed, Huber-weighted. pred (B,h,w), gt (B,h*r,w*r)."""
+def chamfer_error(pred: jax.Array, gt: jax.Array, down_ratio: int) -> jax.Array:
+    """Per-pixel sparse chamfer distance (loss.py:67-98 `sparseChamfer`):
+    min distance from each coarse prediction (full-res disparity units) to any
+    valid GT in its down_ratio cell, invalid (gt==0) candidates excluded.
+    pred (B,h,w), gt (B,h*r,w*r) -> (B,h,w)."""
     B, h, w = pred.shape
     r = down_ratio
     cells = gt.reshape(B, h, r, w, r).transpose(0, 1, 3, 2, 4).reshape(B, h, w, r * r)
     d2 = (pred[..., None] - cells) ** 2 + jnp.where(cells == 0, 1e6, 0.0)
-    err = jnp.sqrt(d2.min(axis=-1) + 1e-6)
+    return jnp.sqrt(d2.min(axis=-1) + 1e-6)
+
+
+def chamfer_loss(pred: jax.Array, gt: jax.Array, down_ratio: int,
+                 extra_mask: Optional[jax.Array] = None) -> jax.Array:
+    """Repaired chamfer loss (loss.py:121-127; upstream's `MyHubeLoss` is
+    undefined — standard Huber delta=1 stands in): Huber of the chamfer
+    distance averaged over pixels with err < 100 (and `extra_mask` if given,
+    the sparse-branch left_mask gate of loss.py:142-143)."""
+    err = chamfer_error(pred, gt, down_ratio)
     mask = err < 100
+    if extra_mask is not None:
+        mask = mask & (extra_mask == 1)
     huber = jnp.where(err < 1.0, 0.5 * err * err, err - 0.5)
     return masked_mean(huber, mask)
+
+
+def multi_stage_chamfer(outputs: Dict, gt: jax.Array, cfg: LossConfig,
+                        num_stage: int, down_scale: int, max_disp: int,
+                        skip_stage_id: int = 4) -> Tuple[jax.Array, Dict]:
+    """The chamfer loss_type (loss.py:98-165 `multi_stage_chamfer_loss`):
+    per stage, chamfer each branch against the FULL-RES ground truth through
+    its down_ratio cells; fine stages combine 0.5*pred + 0.1*dense +
+    0.2/(10+3.75*stage)*sparse(left-masked) + 0.2*fusion, as in uploss."""
+    preds = outputs["preds"]
+    total = 0.0
+    logs: Dict[str, jax.Array] = {}
+    fine_idx = 0
+    for stage in range(num_stage):
+        down = down_scale ** (num_stage - stage - 1)
+        w = cfg.weights[stage]
+        if stage == 0 or stage >= skip_stage_id:
+            l = chamfer_loss(preds[stage] * down, gt, down)
+            total = total + w * l
+            logs[f"stage{stage}/pred"] = l
+            continue
+        lmask = outputs["masks_used"][fine_idx]
+        dense_l = chamfer_loss(outputs["dense"][fine_idx] * down, gt, down)
+        sparse_l = chamfer_loss(outputs["sparse"][fine_idx] * down, gt, down,
+                                extra_mask=lmask)
+        fusion_l = chamfer_loss(outputs["fusion"][fine_idx] * down, gt, down)
+        pred_l = chamfer_loss(preds[stage] * down, gt, down)
+        fine_idx += 1
+        sparse_w = cfg.sparse_term_scale * 0.2 / (10.0 + 3.75 * stage)
+        total = total + w * (0.5 * pred_l + 0.1 * dense_l
+                             + sparse_w * sparse_l + 0.2 * fusion_l)
+        logs[f"stage{stage}/pred"] = pred_l
+        logs[f"stage{stage}/dense"] = dense_l
+        logs[f"stage{stage}/sparse"] = sparse_l
+        logs[f"stage{stage}/fusion"] = fusion_l
+    return total, logs

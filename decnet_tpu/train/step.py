@@ -26,6 +26,44 @@ from decnet_tpu.train.state import TrainState
 def make_train_step(model, cfg: Config, donate: bool = True):
     mcfg, lcfg = cfg.model, cfg.loss
     freeze_bn = getattr(cfg.train, "freeze_bn", False)
+    loss_type = lcfg.loss_type.lower()
+    known = ("multi_stage_regression_uploss", "chamfer", "lr_consistency",
+             "multi_stage_regression_upsampleloss",
+             "multi_stage_regression_upmaskloss")
+    assert loss_type in known, f"No such loss: {lcfg.loss_type}"  # loss.py:28
+    if loss_type == "multi_stage_regression_upmaskloss":
+        assert mcfg.use_detail, \
+            "upmaskloss supervises the learned detail heads (use_detail=1)"
+    if loss_type == "lr_consistency":
+        assert not mcfg.s2d_fine, \
+            "LR_consistency reads per-stage NHWC feature maps " \
+            "(reference-form variant only)"
+
+    def compute_loss(out, batch):
+        """The reference Loss dispatcher (loss.py:31-64), functional."""
+        if loss_type == "multi_stage_regression_uploss":
+            return loss_lib.multi_stage_uploss(
+                out, batch["gt"], lcfg, mcfg.num_stage, mcfg.down_scale,
+                mcfg.max_disp, mcfg.skip_stage_id)
+        if loss_type == "chamfer":
+            return loss_lib.multi_stage_chamfer(
+                out, batch["gt"], lcfg, mcfg.num_stage, mcfg.down_scale,
+                mcfg.max_disp, mcfg.skip_stage_id)
+        if loss_type == "multi_stage_regression_upsampleloss":
+            return loss_lib.upsample_loss(
+                out, batch["gt"], lcfg, mcfg.num_stage, mcfg.down_scale,
+                mcfg.max_disp)
+        if loss_type == "lr_consistency":
+            total = loss_lib.lr_consistency_loss(
+                out["preds"], out["left_feats"], out["right_feats"],
+                lcfg.weights)
+            return total, {"lr_consistency": total}
+        # multi_stage_regression_upmaskloss: pure detail-mask supervision
+        # (loss.py:273-359); binary_thold binarises first (eval mode, :343-345)
+        total, logs = loss_lib.detail_mask_loss(
+            out, batch["left_masks"], batch["right_masks"], lcfg.weights,
+            binary_thold=lcfg.binary_thold)
+        return total, logs
 
     def loss_fn(params, batch_stats, batch):
         variables = {"params": params, "batch_stats": batch_stats}
@@ -45,10 +83,12 @@ def make_train_step(model, cfg: Config, donate: bool = True):
                 variables, batch["left"], batch["right"],
                 batch.get("left_masks"), batch.get("right_masks"),
                 train=True, mutable=["batch_stats"])
-        total, logs = loss_lib.multi_stage_uploss(
-            out, batch["gt"], lcfg, mcfg.num_stage, mcfg.down_scale,
-            mcfg.max_disp, mcfg.skip_stage_id)
-        if mcfg.use_detail and batch.get("left_masks") is not None:
+        total, logs = compute_loss(out, batch)
+        if (loss_type != "multi_stage_regression_upmaskloss"
+                and mcfg.use_detail and batch.get("left_masks") is not None):
+            # detail heads get mask supervision alongside the disparity loss
+            # (the reference applies maskloss as a second Loss object,
+            # SparseDenseNetRefinementMask.py:91)
             mloss, mlogs = loss_lib.detail_mask_loss(
                 out, batch["left_masks"], batch["right_masks"], lcfg.weights)
             total = total + lcfg.alpha * mloss
