@@ -10,3 +10,19 @@ sparse-matching attention; scaling via jax.sharding over a
 """
 
 __version__ = "0.1.0"
+
+# Correctness: jax 0.9.0's default Shardy partitioner mis-scales BACKWARD
+# gradients in several sharded regimes (a conv fork + concat downstream of a
+# strided chain under data x tile sharding; additional non-integer scalings on
+# the 3-axis mesh that persist even with the ops/spmd_conv.py kernel-grad
+# workaround applied — measured full-model grad-norm 1973 vs 504 expected).
+# The legacy GSPMD partitioner is correct everywhere except the conv
+# kernel-grad idle-axis bug worked around in ops/spmd_conv.py
+# (tests/test_parallel.py::test_conv_kernel_grad_idle_mesh_axis); pin GSPMD
+# until Shardy is fixed upstream.  Verified every run by
+# __graft_entry__.dryrun_multichip's numeric replay.
+try:  # pragma: no cover - flag may disappear in future jax versions
+    import jax as _jax
+    _jax.config.update("jax_use_shardy_partitioner", False)
+except Exception:
+    pass

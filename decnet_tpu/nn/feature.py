@@ -13,8 +13,10 @@ from typing import Any, Dict, Sequence
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+from jax.sharding import PartitionSpec as P
 
 from decnet_tpu.nn.layers import ConvUnit, DeconvUnit, space_to_depth
+from decnet_tpu.parallel import mesh as mesh_lib
 
 
 class ASPP(nn.Module):
@@ -106,9 +108,14 @@ class FeatureExtractor(nn.Module):
                              name="conv2_2")(conv2, train=train)
             if ns > 3:
                 c27 = C * s ** 3
+                # the whole 1/27 level runs spatially replicated under a mesh
+                # (tile shards there are smaller than the conv halos — and the
+                # SPMD partitioner mis-scales gradients of the ASPP fork in
+                # that regime; see parallel/mesh.py::coarse_spec)
                 conv3_1 = ConvUnit(c27, 3, stride=s, padding=1,
                                    dtype=self.dtype,
                                    name="conv3_1")(conv2, train=train)
+                conv3_1 = mesh_lib.constrain(conv3_1, mesh_lib.coarse_spec())
                 conv3_2 = ConvUnit(c27, 3, padding=1, dtype=self.dtype,
                                    name="conv3_2a")(conv3_1, train=train)
                 conv3_2 = ConvUnit(c27, 3, padding=1, dtype=self.dtype,
@@ -120,11 +127,14 @@ class FeatureExtractor(nn.Module):
                 conv3 = ConvUnit(c27, 1, padding=0, dtype=self.dtype,
                                  name="fusion")(
                     jnp.concatenate([conv3_2, ctx], axis=-1), train=train)
+                conv3 = mesh_lib.constrain(conv3, mesh_lib.coarse_spec())
                 outputs["stage0"] = conv3
                 skip2 = ConvUnit(C * s * s, 1, padding=0, dtype=self.dtype,
                                  name="trans2")(conv2, train=train)
                 res = DeconvBlock(C * s * s, dtype=self.dtype,
                                   name="deconv3")(skip2, conv3, train=train)
+                # back onto the spatial tiling for the fine levels
+                res = mesh_lib.constrain(res, P("data", "tile"))
             else:
                 res = conv2
             outputs[f"stage{ns - 3}"] = res

@@ -16,12 +16,53 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from decnet_tpu.ops import spmd_conv
+
 # He-normal, fan_out: std = sqrt(2 / (prod(kernel) * out_features)).
 he_fan_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
 def _pair(v, n=2):
     return tuple(v) if isinstance(v, (tuple, list)) else (v,) * n
+
+
+class PConv(nn.Module):
+    """nn.Conv drop-in (same param names/shapes/init/dtype rules) that routes
+    through spmd_conv.conv_dk_fixed when the active mesh is in the regime
+    where the stock SPMD conv kernel-gradient is mis-reduced (see
+    ops/spmd_conv.py).  Instantiated with name="Conv_0" so checkpoints and
+    the torch-import name map are unchanged."""
+    features: int
+    kernel_size: Tuple[int, ...]
+    strides: Tuple[int, ...]
+    padding: Tuple[Tuple[int, int], ...]
+    kernel_dilation: Tuple[int, ...] = None
+    lhs_dilation: Tuple[int, ...] = None
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kshape = tuple(self.kernel_size) + (x.shape[-1], self.features)
+        kernel = self.param("kernel", he_fan_out, kshape, jnp.float32)
+        nsp = len(self.kernel_size)
+        ld = tuple(self.lhs_dilation or (1,) * nsp)
+        rd = tuple(self.kernel_dilation or (1,) * nsp)
+        x = x.astype(self.dtype)
+        k = kernel.astype(self.dtype)
+        if spmd_conv.dk_fix_needed():
+            y = spmd_conv.conv_dk_fixed(x, k, tuple(self.strides),
+                                        tuple(self.padding), ld, rd)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x, k, window_strides=self.strides, padding=self.padding,
+                lhs_dilation=ld, rhs_dilation=rd,
+                dimension_numbers=spmd_conv._dn(nsp))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
 
 
 class FoldedBatchNorm(nn.Module):
@@ -91,12 +132,11 @@ class ConvUnit(nn.Module):
     def __call__(self, x, *, train: bool = False):
         k = _pair(self.kernel_size)
         p = _pair(self.padding)
-        x = nn.Conv(self.features, k, strides=_pair(self.stride),
-                    padding=[(p[0], p[0]), (p[1], p[1])],
-                    kernel_dilation=_pair(self.dilation),
-                    use_bias=not (self.bn or self.gn),
-                    kernel_init=he_fan_out, dtype=self.dtype,
-                    param_dtype=jnp.float32)(x)
+        x = PConv(self.features, k, strides=_pair(self.stride),
+                  padding=((p[0], p[0]), (p[1], p[1])),
+                  kernel_dilation=_pair(self.dilation),
+                  use_bias=not (self.bn or self.gn),
+                  dtype=self.dtype, name="Conv_0")(x)
         if self.bn:
             x = FoldedBatchNorm(name="BatchNorm_0")(
                 x, use_running_average=not train)
@@ -123,10 +163,17 @@ class DeconvUnit(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        x = nn.ConvTranspose(self.features, _pair(self.kernel_size),
-                             strides=_pair(self.stride), padding="VALID",
-                             use_bias=not self.bn, kernel_init=he_fan_out,
-                             dtype=self.dtype, param_dtype=jnp.float32)(x)
+        k, s = _pair(self.kernel_size), _pair(self.stride)
+        # ConvTranspose == conv with lhs_dilation=strides and the transpose
+        # padding rule (kernel NOT flipped, HWIO — lax.conv_transpose
+        # semantics, which flax nn.ConvTranspose wraps)
+        x = PConv(self.features, k, strides=(1, 1),
+                  padding=tuple(spmd_conv.conv_transpose_padding(ki, si,
+                                                                 "VALID")
+                                for ki, si in zip(k, s)),
+                  kernel_dilation=(1, 1), lhs_dilation=s,
+                  use_bias=not self.bn, dtype=self.dtype,
+                  name="ConvTranspose_0")(x)
         if self.bn:
             x = FoldedBatchNorm(name="BatchNorm_0")(
                 x, use_running_average=not train)
@@ -149,11 +196,10 @@ class Conv3dUnit(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         p = self.padding
-        x = nn.Conv(self.features, _pair(self.kernel_size, 3),
-                    strides=_pair(self.stride, 3),
-                    padding=[(p, p)] * 3, use_bias=not self.bn,
-                    kernel_init=he_fan_out, dtype=self.dtype,
-                    param_dtype=jnp.float32)(x)
+        x = PConv(self.features, _pair(self.kernel_size, 3),
+                  strides=_pair(self.stride, 3),
+                  padding=((p, p),) * 3, use_bias=not self.bn,
+                  dtype=self.dtype, name="Conv_0")(x)
         if self.bn:
             x = FoldedBatchNorm(name="BatchNorm_0")(
                 x, use_running_average=not train)

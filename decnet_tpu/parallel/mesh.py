@@ -59,13 +59,33 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def volume_spec() -> P:
-    """(B, S, H, W, C) cost-volume partition spec."""
-    return P("data", "disp", "tile", None, None)
+    """(B, S, H, W, C) cost-volume partition spec.
+
+    H is deliberately NOT on the tile axis: the 1/27-res volume is tiny
+    (20x36 at the flagship shape), so spatial shards would be smaller than
+    the 3D-conv halos — all exchange, no compute.  The coarse stage is
+    data x disp parallel and spatially replicated (see coarse_spec)."""
+    return P("data", "disp", None, None, None)
 
 
 def cost_spec() -> P:
     """(B, S, H, W) regularised-cost partition spec."""
-    return P("data", "disp", "tile", None)
+    return P("data", "disp", None, None)
+
+
+def coarse_spec() -> P:
+    """Coarse (1/27-res) feature maps: batch-sharded, spatially replicated.
+
+    Two reasons. (1) Performance: at 1/27 the maps are a few rows per shard
+    (20x36 at the flagship shape over tile>=2); conv halo exchange would
+    dominate any compute. (2) Robustness: tiny spatial shards (<= the conv
+    halo) are exactly the regime where jax-0.9.0 partitioner backward bugs
+    live (Shardy's fork+concat mis-scaling; the GSPMD kernel-grad idle-axis
+    bug worked around in ops/spmd_conv.py).  Keeping the coarse level
+    spatially replicated sidesteps the degenerate-shard regime entirely; the
+    strengthened __graft_entry__.dryrun_multichip checks gradients numerically
+    against a single-device replay every run."""
+    return P("data")
 
 
 def constrain(x, spec: P):

@@ -152,8 +152,10 @@ def test_model_disp_sharded_equals_unsharded(rng):
     assert "sharding_constraint" in hlo or "Sharding" in hlo, \
         hlo.splitlines()[0]
     for a, b in zip(want, got):
-        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-4,
-                                   atol=2e-4)
+        # 1e-3: f32 reassociation across 8 shards + the custom_vjp conv
+        # wrapper (ops/spmd_conv.py) altering fusion boundaries
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-3,
+                                   atol=1e-3)
 
 
 def test_constrain_is_noop_without_mesh(rng):
@@ -229,3 +231,85 @@ def test_device_synth_sharded_generation(rng):
     assert sharded["left"].sharding.is_equivalent_to(want, 4)
     assert sharded["left_masks"][0].sharding.is_equivalent_to(
         mesh_lib.batch_sharding(mesh, 3), 3)
+
+
+def test_conv_kernel_grad_idle_mesh_axis():
+    """Regression for the jax-0.9.0 SPMD conv kernel-grad bug + workaround.
+
+    Stock conv_general_dilated: when a convolved dim is sharded over one mesh
+    axis and the mesh has another non-trivial axis the operands are replicated
+    over, GSPMD emits the kernel-grad all-reduce over the FULL device set
+    (replica_groups={{0..n}}), scaling dk by the idle-axis product.  dx and
+    the forward are exact.  ops/spmd_conv.conv_dk_fixed must return exact
+    kernel grads in that regime (patches x cotangent contraction).
+    """
+    need_devices(4)
+    from decnet_tpu.ops.spmd_conv import conv_dk_fixed
+
+    r = np.random.RandomState(0)
+    x = r.rand(4, 16, 16, 3).astype(np.float32)
+    k = r.rand(3, 3, 3, 8).astype(np.float32)
+
+    def loss(conv):
+        return lambda k, x: jnp.sum(conv(
+            x, k, (1, 1), ((1, 1), (1, 1)), (1, 1), (1, 1)) ** 2)
+
+    stock = lambda x, k, s, p, ld, rd: jax.lax.conv_general_dilated(
+        x, k, s, p, lhs_dilation=ld, rhs_dilation=rd,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    gk_ref, gx_ref = jax.grad(loss(stock), argnums=(0, 1))(k, x)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2), ("tile", "disp"))
+    xs = jax.device_put(x, NamedSharding(mesh, P(None, "tile")))
+    ks = jax.device_put(k, NamedSharding(mesh, P()))
+    with mesh:
+        gk_fix, gx_fix = jax.jit(jax.grad(loss(conv_dk_fixed),
+                                          argnums=(0, 1)))(ks, xs)
+        gk_stock = jax.jit(jax.grad(loss(stock)))(ks, xs)
+    np.testing.assert_allclose(np.asarray(gk_fix), gk_ref, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(gx_fix), gx_ref, rtol=2e-5)
+    stock_ratio = float(np.linalg.norm(gk_stock) / np.linalg.norm(gk_ref))
+    # documents the upstream bug this guards against; if jax fixes it this
+    # becomes ~1.0 and the workaround (plus its memory cost) can be retired
+    assert abs(stock_ratio - 2.0) < 1e-3 or abs(stock_ratio - 1.0) < 1e-3, \
+        f"unexpected stock kernel-grad scaling {stock_ratio}"
+
+
+def test_model_grads_match_single_device_3axis_mesh(rng):
+    """Full-model train-step gradients on the data x tile x disp mesh must
+    match the single-device values (the regime where stock convs mis-reduce;
+    PConv routes through conv_dk_fixed — see nn/layers.py)."""
+    need_devices(8)
+    model = tiny_model()
+    left, right, lm, rm = make_batch(rng, B=4)
+    variables = model.init(jax.random.PRNGKey(0), left[:1], right[:1],
+                           [m[:1] for m in lm], [m[:1] for m in rm])
+    gt = (rng.rand(4, 54, 54) * 20).astype(np.float32)
+
+    def loss_fn(params):
+        out, _ = model.apply({**variables, "params": params}, left, right,
+                             lm, rm, train=True, mutable=["batch_stats"])
+        # smooth loss: abs() kinks flip sign under shard reassociation
+        return sum((p * p).mean() for p in out["preds"])
+
+    g_ref = jax.grad(loss_fn)(variables["params"])
+
+    mesh = mesh_lib.make_mesh(MeshConfig(data=2, tile=2, disp=2))
+    with mesh:
+        g = jax.jit(jax.grad(loss_fn))(
+            jax.device_put(variables["params"], mesh_lib.replicated(mesh)))
+    flat_ref = jax.tree_util.tree_leaves(g_ref)
+    flat = jax.tree_util.tree_leaves(g)
+    # The bug signature is a x2 (idle-axis product) scaling of whole kernel
+    # leaves, so pin per-leaf norms.  Elementwise equality is NOT asserted:
+    # nondifferentiable selects in the model (running-max softmax, warp tap
+    # choice) flip on 1-ulp shard-reassociation differences and perturb O(1)
+    # values at ~0.2% of elements; the train-step dryrun pins the total grad
+    # norm to 2e-4 with the real loss (__graft_entry__.dryrun_multichip).
+    for a, b in zip(flat, flat_ref):
+        a, b = np.asarray(a), np.asarray(b)
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        if nb > 1e-6:
+            # any partitioner mis-reduction is an integer factor >= 2,
+            # so a wide band is decisive yet immune to select-flip noise
+            assert 0.5 < na / nb < 1.5, f"grad norm {na} vs {nb}"
