@@ -51,7 +51,8 @@ class DecNet(nn.Module):
                  left_masks: Optional[Sequence[jax.Array]] = None,
                  right_masks: Optional[Sequence[jax.Array]] = None,
                  *, train: bool = False,
-                 max_disp: Optional[int] = None) -> Dict[str, Any]:
+                 max_disp: Optional[int] = None,
+                 ablate_sparse: bool = False) -> Dict[str, Any]:
         cfg = self.cfg
         dtype = jnp.dtype(cfg.dtype)
         max_disp = int(max_disp or cfg.max_disp)
@@ -100,6 +101,10 @@ class DecNet(nn.Module):
                                   name="cost_reg")(vol, train=train)
                 cost = mesh_lib.constrain(cost, mesh_lib.cost_spec())
                 pred = disparity_regression(cost, samples)
+                # leave the disp-sharded region explicitly: pred is a plain
+                # (B,H,W) map, batch+row sharded, REPLICATED over `disp`
+                pred = mesh_lib.constrain(pred, jax.sharding.PartitionSpec(
+                    "data", "tile"))
                 pre_left, pre_right = lf, rf
                 out["preds"].append(pred)
                 continue
@@ -196,7 +201,13 @@ class DecNet(nn.Module):
                     att_in, train=train)
                 out["soft_mask"].append(soft)
 
-            fused = dense * (1.0 - soft) + soft * sparse
+            if ablate_sparse:
+                # ablation eval: pretend the sparse branch doesn't exist so
+                # its contribution to final accuracy is measurable
+                # (scripts/report_eval.py --ablate_sparse)
+                fused = dense
+            else:
+                fused = dense * (1.0 - soft) + soft * sparse
             out["fusion"].append(s2d_to_plane(fused, scale) if s2d else fused)
 
             if s2d:

@@ -22,6 +22,10 @@ from decnet_tpu.ops.resize import interpolate
 p = argparse.ArgumentParser()
 p.add_argument("--ckpt", required=True)
 p.add_argument("--batches", type=int, default=16)
+p.add_argument("--h", type=int, default=162)
+p.add_argument("--w", type=int, default=243)
+p.add_argument("--max_disp", type=int, default=108)
+p.add_argument("--batch", type=int, default=8)
 p.add_argument("--s2d", action="store_true")
 p.add_argument("--use_detail", action="store_true")
 p.add_argument("--thold", type=float, default=0.9)
@@ -30,14 +34,14 @@ p.add_argument("--seed", type=int, default=37)
 args = p.parse_args()
 
 cfg = Config()
-cfg.model.max_disp = 108
+cfg.model.max_disp = args.max_disp
 cfg.model.use_detail = args.use_detail
 cfg.model.thold = args.thold
 cfg.model.dtype = "bfloat16"
 cfg.model.matching_impl = "auto"
 cfg.model.s2d_fine = args.s2d
-cfg.train.crop_h, cfg.train.crop_w = 162, 243
-cfg.train.batch_size = 8
+cfg.train.crop_h, cfg.train.crop_w = args.h, args.w
+cfg.train.batch_size = args.batch
 
 model, state, _ = init_model_and_state(cfg, args.ckpt)
 step = int(state.step)
@@ -45,14 +49,18 @@ print(f"checkpoint step {step}  (s2d={args.s2d} use_detail={args.use_detail})")
 
 variables = {"params": state.params, "batch_stats": state.batch_stats}
 
-@jax.jit
-def fwd(batch):
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def fwd(batch, ablate_sparse=False):
     return model.apply(variables, batch["left"], batch["right"],
                        batch.get("left_masks"), batch.get("right_masks"),
-                       train=False)
+                       train=False, ablate_sparse=ablate_sparse)
 
-stream = device_batch_stream(args.seed, val=True, batch=8, h=162, w=243,
-                             max_disp=108, dtype=jnp.bfloat16)
+stream = device_batch_stream(args.seed, val=True, batch=args.batch,
+                             h=args.h, w=args.w,
+                             max_disp=args.max_disp, dtype=jnp.bfloat16)
 
 acc = {}
 def add(k, epe, d1):
@@ -62,23 +70,28 @@ dens = []
 for bi in range(args.batches):
     batch = next(stream)
     out = fwd(batch)
+    # sparse-ablation pass: same weights, sparse branch removed (fused =
+    # dense) — the final-EPE delta is the sparse branch's contribution
+    out_abl = fwd(batch, True)
     gt = batch["gt"]
+    add("ablate_sparse_final", *epe_and_d1(out_abl["preds"][-1], gt,
+                                           args.max_disp))
     for i, pred in enumerate(out["preds"]):
         scale = gt.shape[1] // pred.shape[1]
         g = gt[:, ::scale, ::scale] / scale if scale > 1 else gt
-        add(f"stage{i}", *epe_and_d1(pred, g, 108 // max(scale, 1)))
+        add(f"stage{i}", *epe_and_d1(pred, g, args.max_disp // max(scale, 1)))
     coarse = out["preds"][0]
     up = interpolate(coarse * (gt.shape[1] / coarse.shape[1]),
                      gt.shape[1], gt.shape[2], "bicubic")
-    add("up0_baseline", *epe_and_d1(up, gt, 108))
+    add("up0_baseline", *epe_and_d1(up, gt, args.max_disp))
     for k in ("dense", "fusion"):
         if out.get(k):
-            add(f"final_{k}", *epe_and_d1(out[k][-1], gt, 108))
+            add(f"final_{k}", *epe_and_d1(out[k][-1], gt, args.max_disp))
     # sparse matching only fires at mask pixels (SpaMat outputs ~0
     # elsewhere); its EPE and the fusion-vs-dense delta are measured there
     if out.get("sparse") and out.get("masks_used"):
         m = out["masks_used"][-1] > 0
-        valid = (gt > 0) & (gt < 108) & m
+        valid = (gt > 0) & (gt < args.max_disp) & m
         for k in ("dense", "sparse", "fusion"):
             err = jnp.abs(out[k][-1].astype(jnp.float32) - gt)
             v = valid.astype(jnp.float32)
@@ -96,6 +109,11 @@ if dens:
 last = max(int(k[5]) for k in acc if k.startswith("stage"))
 report["decomposition_win_epe"] = round(
     report["up0_baseline_epe"] - report[f"stage{last}_epe"], 4)
+if "ablate_sparse_final_epe" in report:
+    # > 0 means the sparse branch improves final accuracy
+    report["sparse_contribution_epe"] = round(
+        report["ablate_sparse_final_epe"] - report[f"stage{last}_epe"], 4)
+report["shape"] = [args.h, args.w, args.max_disp]
 print(json.dumps(report, indent=2))
 if args.json:
     with open(args.json, "w") as f:
