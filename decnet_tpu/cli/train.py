@@ -75,6 +75,12 @@ def main(argv=None):
     mesh = make_mesh(cfg.mesh)
     state = jax.device_put(state, replicated(mesh))
     train_step = make_train_step(model, cfg)
+    # Integrated BN-freeze tail (docs/training.md): past freeze_bn_after the
+    # forward normalises with the fixed running stats (exactly as eval will)
+    # while the weights keep training — one run, no separate fine-tune.
+    freeze_after = getattr(cfg.train, "freeze_bn_after", 0)
+    freeze_step = (make_train_step(model, cfg, freeze_bn=True)
+                   if freeze_after > 0 else None)
 
     # cfg.train.batch_size is the GLOBAL batch; each process loads only its
     # share and shard_batch assembles the global array from the local rows
@@ -176,7 +182,10 @@ def main(argv=None):
     # constraints (disp-axis cost volume) resolve against this mesh
     with mesh:
         for batch in batches():
-            state, logs = train_step(state, batch)
+            if freeze_step is not None and step >= freeze_after:
+                state, logs = freeze_step(state, batch)
+            else:
+                state, logs = train_step(state, batch)
             step += 1
             if step % cfg.train.log_every == 0:
                 logs = {k: float(v) for k, v in logs.items()}

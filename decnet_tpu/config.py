@@ -37,11 +37,20 @@ class ModelConfig:
     sample_spa_size_list: Tuple[int, ...] = (-1, 3, 5, 7)
     dtype: str = "bfloat16"             # compute dtype (params stay f32)
     matching_impl: str = "auto"         # auto | pallas | xla
+    # Normalisation for every conv unit: "bn" (reference behaviour, sync
+    # batch stats) or "gn" (GroupNorm, 8 ch/group — no batch statistics, so
+    # no train/eval normalisation gap; the BN-gap root-cause ablation).
+    norm: str = "bn"
     # Run the full-resolution stage in space-to-depth form (1/3-res x 72ch):
     # full-res C=8 convs waste ~16x HBM bandwidth on TPU lane padding. Same
     # function class, different parameterisation — a TPU-first variant, not
     # numerically identical to the reference layers.
     s2d_fine: bool = False
+    # How many trailing fine stages run in s2d form when s2d_fine is set.
+    # 1 = full-res stage only (the round-2 variant); 2 additionally runs the
+    # 1/3-res stage's heads at 1/9 with 9x channels (soft-att hidden C=8 and
+    # refine C=24/12 convs at 1/3 res are 5-16x lane-padded otherwise).
+    s2d_stages: int = 1
 
     def __post_init__(self):
         assert self.max_disp % (self.down_scale ** (self.num_stage - 1)) == 0, (
@@ -88,6 +97,11 @@ class TrainConfig:
     # BN-freeze fine-tune: forward with the fixed running statistics (eval
     # mode) while training, so weights adapt to the stats eval will use.
     freeze_bn: bool = False
+    # Integrated BN-freeze tail: from this step on, the train CLI switches to
+    # the freeze_bn step automatically, so one run closes the batch-stat /
+    # running-stat gap without a separate fine-tune ritual (docs/training.md
+    # "BN-freeze fine-tune").  0 disables.
+    freeze_bn_after: int = 0
     # Host-RSS guard: when process RSS exceeds this, save a checkpoint and
     # exit(75) so a supervisor can restart-and-resume.  Works around the
     # remote-TPU client leaking host memory per host->device transfer

@@ -57,9 +57,19 @@ class DecNet(nn.Module):
         dtype = jnp.dtype(cfg.dtype)
         max_disp = int(max_disp or cfg.max_disp)
         ns, scale = cfg.num_stage, cfg.down_scale
+        from decnet_tpu.nn import layers as layers_lib
+        with layers_lib.norm_override(getattr(cfg, "norm", "bn")):
+            return self._forward(cfg, dtype, max_disp, ns, scale, left, right,
+                                 left_masks, right_masks, train=train,
+                                 ablate_sparse=ablate_sparse)
 
+    def _forward(self, cfg, dtype, max_disp, ns, scale, left, right,
+                 left_masks, right_masks, *, train, ablate_sparse):
+
+        n_s2d = getattr(cfg, "s2d_stages", 1) if cfg.s2d_fine else 0
         extractor = FeatureExtractor(cfg.base_channels, ns, scale,
                                      s2d_last=cfg.s2d_fine,
+                                     s2d_mid=n_s2d >= 2,
                                      dtype=dtype, name="feature_extractor")
         left_all = extractor(left.astype(dtype), train=train)
         right_all = extractor(right.astype(dtype), train=train)
@@ -79,11 +89,12 @@ class DecNet(nn.Module):
             lf = left_all[f"stage{stage}"]
             rf = right_all[f"stage{stage}"]
             cur_max_disp = max_disp // (scale ** (ns - stage - 1))
-            # the full-res stage may arrive in space-to-depth form; its whole
-            # pipeline then runs layout-native: features go ONCE to the Pallas
-            # kernels' rows-form (B,H,C,W), planar maps stay in s2d plane form
-            # (B,h,w,s^2), and full-res NHWC is never materialised
-            s2d = cfg.s2d_fine and stage == ns - 1 and stage > 0
+            # the trailing fine stage(s) may arrive in space-to-depth form;
+            # their whole pipeline then runs layout-native: features go ONCE
+            # to the Pallas kernels' rows-form (B,H,C,W), planar maps stay in
+            # s2d plane form (B,h,w,s^2), and the stage's native resolution
+            # is never materialised in NHWC (s2d_stages controls how many)
+            s2d = cfg.s2d_fine and stage > 0 and stage >= ns - n_s2d
             if s2d:
                 lf_rows = s2d_to_rows(lf, scale)      # (B,H,C,W)
                 rf_rows = s2d_to_rows(rf, scale)
@@ -152,7 +163,12 @@ class DecNet(nn.Module):
                 if s2d:
                     lmask_s2d = plane_to_s2d(lmask, scale)
             out["masks_used"].append(lmask)
-            pre_left, pre_right = lf, rf
+            # the next stage's DetailHead consumes this stage's features in
+            # NHWC form at this stage's native resolution; unpacking the s2d
+            # form is its exact inverse (layers.depth_to_space), and XLA
+            # dead-code-eliminates it when no next stage uses it
+            pre_left = depth_to_space(lf, scale) if s2d else lf
+            pre_right = depth_to_space(rf, scale) if s2d else rf
 
             cur = jax.lax.stop_gradient(pred) if cfg.grad_method == "detach" \
                 else pred

@@ -67,6 +67,9 @@ class FeatureExtractor(nn.Module):
     num_stage: int = 4
     down_scale: int = 3
     s2d_last: bool = False
+    # also emit "stage{ns-2}" (the 1/3-res level) packed to s2d form
+    # (1/9-res x s*s*3C) so its heads can run layout-native too
+    s2d_mid: bool = False
     dtype: Any = jnp.float32
 
     @property
@@ -144,7 +147,8 @@ class FeatureExtractor(nn.Module):
                               name="deconv2")(skip1, res, train=train)
         else:
             res = conv1
-        outputs[f"stage{ns - 2}"] = res
+        outputs[f"stage{ns - 2}"] = (space_to_depth(res, s)
+                                     if self.s2d_mid else res)
         skip0 = ConvUnit(C0, 1, padding=0, dtype=self.dtype,
                          name="trans0")(conv0, train=train)
         if s2d:

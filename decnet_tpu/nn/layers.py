@@ -12,11 +12,56 @@ from __future__ import annotations
 
 from typing import Any, Callable, Optional, Sequence, Tuple, Union
 
+import contextlib
+import contextvars
+
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
 from decnet_tpu.ops import spmd_conv
+
+# Trace-time normalisation override for the whole conv-unit family.  BatchNorm
+# is the reference behaviour (and what checkpoints expect); "gn" swaps every
+# unit's BN for GroupNorm (8 channels/group) — no batch statistics, so
+# train==eval normalisation by construction.  Used by the model when
+# ModelConfig.norm == "gn" (the BN train/eval-gap root-cause ablation,
+# docs/training.md).
+_NORM_OVERRIDE = contextvars.ContextVar("decnet_norm_override", default="bn")
+
+
+@contextlib.contextmanager
+def norm_override(norm: str):
+    assert norm in ("bn", "gn"), norm
+    tok = _NORM_OVERRIDE.set(norm)
+    try:
+        yield
+    finally:
+        _NORM_OVERRIDE.reset(tok)
+
+
+def _make_norm(bn: bool, gn: bool, gn_group: int, dtype):
+    """The norm layer a conv unit should apply, honouring the override."""
+    if bn and _NORM_OVERRIDE.get() == "gn":
+        # target group size ~8: the largest divisor of C not above C//8
+        def gn_layer(x, *, use_running_average):
+            C = x.shape[-1]
+            cap = max(1, C // 8)
+            groups = max(g for g in range(1, cap + 1) if C % g == 0)
+            return nn.GroupNorm(num_groups=groups, dtype=dtype,
+                                param_dtype=jnp.float32,
+                                name="GroupNorm_0")(x)
+        return gn_layer
+    if bn:
+        bn_mod = FoldedBatchNorm(name="BatchNorm_0")
+        return lambda x, *, use_running_average: bn_mod(
+            x, use_running_average=use_running_average)
+    if gn:
+        def gn_layer(x, *, use_running_average):
+            return nn.GroupNorm(num_groups=gn_group, dtype=dtype,
+                                param_dtype=jnp.float32)(x)
+        return gn_layer
+    return None
 
 # He-normal, fan_out: std = sqrt(2 / (prod(kernel) * out_features)).
 he_fan_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
@@ -137,12 +182,9 @@ class ConvUnit(nn.Module):
                   kernel_dilation=_pair(self.dilation),
                   use_bias=not (self.bn or self.gn),
                   dtype=self.dtype, name="Conv_0")(x)
-        if self.bn:
-            x = FoldedBatchNorm(name="BatchNorm_0")(
-                x, use_running_average=not train)
-        elif self.gn:
-            x = nn.GroupNorm(num_groups=self.gn_group, dtype=self.dtype,
-                             param_dtype=jnp.float32)(x)
+        norm = _make_norm(self.bn, self.gn, self.gn_group, self.dtype)
+        if norm is not None:
+            x = norm(x, use_running_average=not train)
         if self.relu:
             x = nn.relu(x)
         if self.lrelu:
@@ -174,9 +216,9 @@ class DeconvUnit(nn.Module):
                   kernel_dilation=(1, 1), lhs_dilation=s,
                   use_bias=not self.bn, dtype=self.dtype,
                   name="ConvTranspose_0")(x)
-        if self.bn:
-            x = FoldedBatchNorm(name="BatchNorm_0")(
-                x, use_running_average=not train)
+        norm = _make_norm(self.bn, False, 0, self.dtype)
+        if norm is not None:
+            x = norm(x, use_running_average=not train)
         if self.relu:
             x = nn.relu(x)
         return x
@@ -200,9 +242,9 @@ class Conv3dUnit(nn.Module):
                   strides=_pair(self.stride, 3),
                   padding=((p, p),) * 3, use_bias=not self.bn,
                   dtype=self.dtype, name="Conv_0")(x)
-        if self.bn:
-            x = FoldedBatchNorm(name="BatchNorm_0")(
-                x, use_running_average=not train)
+        norm = _make_norm(self.bn, False, 0, self.dtype)
+        if norm is not None:
+            x = norm(x, use_running_average=not train)
         if self.relu:
             x = nn.relu(x)
         return x

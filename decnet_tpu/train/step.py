@@ -23,9 +23,11 @@ from decnet_tpu.train.metrics import epe_and_d1
 from decnet_tpu.train.state import TrainState
 
 
-def make_train_step(model, cfg: Config, donate: bool = True):
+def make_train_step(model, cfg: Config, donate: bool = True,
+                    freeze_bn: Optional[bool] = None):
     mcfg, lcfg = cfg.model, cfg.loss
-    freeze_bn = getattr(cfg.train, "freeze_bn", False)
+    if freeze_bn is None:
+        freeze_bn = getattr(cfg.train, "freeze_bn", False)
     loss_type = lcfg.loss_type.lower()
     known = ("multi_stage_regression_uploss", "chamfer", "lr_consistency",
              "multi_stage_regression_upsampleloss",

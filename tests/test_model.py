@@ -220,3 +220,70 @@ def test_folded_batchnorm_matches_flax(rng):
     # bf16 activations: affine stays in bf16 (no f32 output promotion)
     y_b = Ours().apply(v_o, x.astype(jnp.bfloat16), False)
     assert y_b.dtype == jnp.bfloat16
+
+
+def test_forward_s2d_two_stages(rng):
+    """s2d_stages=2: the 1/3-res stage's heads also run layout-native (1/9
+    grid, 9x channels); output contract identical to the reference form."""
+    cfg = tiny_cfg(use_detail=True, thold=0.5, s2d_fine=True, s2d_stages=2)
+    model = get_model("decnet", cfg)
+    left, right, _, _ = make_batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), left, right)
+    out = model.apply(variables, left, right)
+    shapes = [(1, 2, 3), (1, 6, 9), (1, 18, 27), (1, 54, 81)]
+    for p, s in zip(out["preds"], shapes):
+        assert p.shape == s
+        assert np.isfinite(np.asarray(p)).all()
+    # per-stage diagnostics stay in planar form at each stage's resolution
+    # (index 1 = the 1/3-res stage, the one s2d_stages=2 newly converts)
+    assert out["sparse"][1].shape == (1, 18, 27)
+    assert out["sparse"][-1].shape == (1, 54, 81)
+    assert out["soft_mask"][1].shape == (1, 18, 27)
+    assert out["left_details"][1].shape == (1, 18, 27)
+    assert out["masks_used"][1].shape == (1, 18, 27)
+
+
+def test_s2d_two_stage_train_step(rng):
+    """Gradients flow and the loss decreases with both trailing stages in
+    s2d form (precomputed-mask mode, the training configuration)."""
+    from decnet_tpu.config import Config
+    from decnet_tpu.train.state import create_train_state
+    from decnet_tpu.train.step import make_train_step
+    cfg = Config()
+    cfg.model = tiny_cfg(use_detail=False, s2d_fine=True, s2d_stages=2)
+    cfg.train.lr = 1e-3
+    cfg.train.warmup_steps = 1
+    cfg.train.total_steps = 100
+    model = get_model("decnet", cfg.model)
+    left, right, lm, rm = make_batch(rng, B=2)
+    batch = {"left": left, "right": right,
+             "gt": (rng.rand(2, 54, 81) * 20).astype(np.float32),
+             "left_masks": lm, "right_masks": rm}
+    variables = model.init(jax.random.PRNGKey(0), left, right, lm, rm)
+    state = create_train_state(model, variables, cfg.train)
+    step = make_train_step(model, cfg, donate=False)
+    losses = []
+    for _ in range(6):
+        state, logs = step(state, batch)
+        losses.append(float(logs["total"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_groupnorm_variant_no_train_eval_gap(rng):
+    """norm="gn": no batch statistics anywhere — the train=True and
+    train=False forwards are identical by construction (the BN train/eval
+    gap root-cause ablation, docs/training.md)."""
+    cfg = tiny_cfg(norm="gn")
+    model = get_model("decnet", cfg)
+    left, right, lm, rm = make_batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), left, right, lm, rm)
+    # no batch_stats collection at all
+    assert "batch_stats" not in variables
+    out_eval = model.apply(variables, left, right, lm, rm, train=False)
+    out_train, _ = model.apply(variables, left, right, lm, rm, train=True,
+                               mutable=[])
+    np.testing.assert_allclose(np.asarray(out_train["preds"][-1]),
+                               np.asarray(out_eval["preds"][-1]),
+                               rtol=1e-6, atol=1e-6)
+    assert np.isfinite(np.asarray(out_eval["preds"][-1])).all()
