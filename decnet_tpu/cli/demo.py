@@ -35,6 +35,10 @@ def main(argv=None):
                    help="save a per-scene grid of stage outputs (the "
                         "reference's is_check notebook workflow, "
                         "SparseDenseNetRefinementMask.py:218-235)")
+    p.add_argument("--exec_s2d", type=int, default=0,
+                   help="run faithful (reference-form) weights through the "
+                        "exact space-to-depth repack (models/repack.py): "
+                        "same outputs, s2d throughput")
     args = p.parse_args(argv)
 
     enable_compilation_cache()
@@ -45,6 +49,9 @@ def main(argv=None):
     model, state, _ = init_model_and_state(cfg, args.resume,
                                            for_training=False)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if args.exec_s2d and not cfg.model.s2d_fine:
+        from decnet_tpu.models.repack import s2d_exec
+        model, variables = s2d_exec(variables, cfg.model)
 
     os.makedirs(args.save2where, exist_ok=True)
 

@@ -35,6 +35,10 @@ def main(argv=None):
     p.add_argument("--save2where", type=str, default="eval_out")
     p.add_argument("--mask_source", type=str, default="compute",
                    choices=["compute", "precomputed"])
+    p.add_argument("--exec_s2d", type=int, default=0,
+                   help="run faithful (reference-form) weights through the "
+                        "exact space-to-depth repack (models/repack.py): "
+                        "same outputs, s2d throughput")
     args = p.parse_args(argv)
 
     enable_compilation_cache()
@@ -46,6 +50,9 @@ def main(argv=None):
     model, state, _ = init_model_and_state(cfg, args.resume,
                                            for_training=False)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if args.exec_s2d and not cfg.model.s2d_fine:
+        from decnet_tpu.models.repack import s2d_exec
+        model, variables = s2d_exec(variables, cfg.model)
 
     ds = get_dataset(args.dataset, args.root, split=args.test_split,
                      is_training=False, mask_source=args.mask_source,

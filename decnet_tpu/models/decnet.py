@@ -201,7 +201,10 @@ class DecNet(nn.Module):
                 out["var"].append(var)
 
             if s2d:
-                soft = SoftAttentionS2D(scale, dtype=dtype,
+                soft = SoftAttentionS2D(scale,
+                                        hidden=scale * scale
+                                        * cfg.base_channels,
+                                        dtype=dtype,
                                         name=f"soft_att_{stage - 1}")(
                     lf, [dense, sparse, lmask_s2d, -var], train=train)
                 out["soft_mask"].append(s2d_to_plane(soft, scale))
@@ -228,7 +231,8 @@ class DecNet(nn.Module):
 
             if s2d:
                 pred_s2d, residual_s2d = RefinementS2D(
-                    scale, dtype=dtype, name=f"refine_{stage - 1}")(
+                    scale, hidden=scale * scale * cfg.base_channels,
+                    dtype=dtype, name=f"refine_{stage - 1}")(
                     lf, rf_rows, fused, s2d_to_plane(fused, scale),
                     train=train, max_disp=cur_max_disp)
                 pred = s2d_to_plane(pred_s2d, scale)

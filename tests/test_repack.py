@@ -1,0 +1,152 @@
+"""Exact s2d repacking of faithful weights (decnet_tpu/models/repack.py).
+
+The s2d model variant's structure is the exact packed twin of the faithful
+(reference-form, modules/submodule.py) graph; repack_faithful_to_s2d maps a
+faithful variables pytree onto it so the s2d execution reproduces the
+faithful numbers at inference.  These tests pin (a) the kernel-level packing
+identities and (b) full-model forward equality, which is what lets bench.py /
+eval / demo run reference checkpoints at s2d throughput."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from decnet_tpu.config import ModelConfig
+from decnet_tpu.models import get_model
+from decnet_tpu.models.repack import (pack_conv3x3, pack_conv3x3_stride,
+                                      pack_conv1x1, deconv_to_1x1,
+                                      concat_blocks_perm, unfold_to_s2d_perm,
+                                      repack_faithful_to_s2d)
+from decnet_tpu.nn.layers import space_to_depth, depth_to_space
+
+
+def _conv(x, K, dilation=1, stride=1, padding=None):
+    d = dilation
+    p = padding if padding is not None else d
+    return jax.lax.conv_general_dilated(
+        x, K, window_strides=(stride, stride), padding=((p, p), (p, p)),
+        rhs_dilation=(d, d), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+@pytest.mark.parametrize("dilation", [1, 3, 6, 9])
+def test_pack_conv3x3_matches_full_res(dilation):
+    r, Cin, Cout = 3, 4, 5
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 18, 27, Cin).astype(np.float32)
+    K = rng.randn(3, 3, Cin, Cout).astype(np.float32)
+    y = _conv(jnp.asarray(x), jnp.asarray(K), dilation=dilation)
+    KP = pack_conv3x3(K, r, dilation)
+    pd = max(1, dilation // r) if dilation % r == 0 else 1
+    yp = _conv(space_to_depth(jnp.asarray(x), r), jnp.asarray(KP),
+               dilation=pd)
+    np.testing.assert_allclose(np.asarray(depth_to_space(yp, r)),
+                               np.asarray(y), rtol=1e-5, atol=1e-5)
+
+
+def test_pack_conv3x3_stride():
+    r, Cin, Cout = 3, 4, 5
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 18, 27, Cin).astype(np.float32)
+    K = rng.randn(3, 3, Cin, Cout).astype(np.float32)
+    y = _conv(jnp.asarray(x), jnp.asarray(K), stride=r, padding=1)
+    KP = pack_conv3x3_stride(K, r)
+    yp = _conv(space_to_depth(jnp.asarray(x), r), jnp.asarray(KP), padding=1)
+    np.testing.assert_allclose(np.asarray(yp), np.asarray(y),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pack_conv1x1_and_deconv():
+    r, Cin, Cout = 3, 4, 5
+    rng = np.random.RandomState(2)
+    x = rng.randn(2, 18, 27, Cin).astype(np.float32)
+    K1 = rng.randn(1, 1, Cin, Cout).astype(np.float32)
+    y = _conv(jnp.asarray(x), jnp.asarray(K1), padding=0)
+    yp = _conv(space_to_depth(jnp.asarray(x), r),
+               jnp.asarray(pack_conv1x1(K1, r)), padding=0)
+    np.testing.assert_allclose(np.asarray(depth_to_space(yp, r)),
+                               np.asarray(y), rtol=1e-5, atol=1e-5)
+
+    # k=r/s=r transpose conv == 1x1 conv to the s2d form
+    Kt = rng.randn(r, r, Cin, Cout).astype(np.float32)
+    xs = rng.randn(2, 6, 9, Cin).astype(np.float32)
+    from decnet_tpu.ops import spmd_conv
+    pad = tuple(spmd_conv.conv_transpose_padding(r, r, "VALID")
+                for _ in range(2))
+    y = jax.lax.conv_general_dilated(
+        jnp.asarray(xs), jnp.asarray(Kt), window_strides=(1, 1),
+        padding=pad, lhs_dilation=(r, r),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    yp = _conv(jnp.asarray(xs), jnp.asarray(deconv_to_1x1(Kt, r)), padding=0)
+    np.testing.assert_allclose(np.asarray(depth_to_space(yp, r)),
+                               np.asarray(y), rtol=1e-5, atol=1e-5)
+
+
+def test_concat_blocks_perm_roundtrip():
+    r = 3
+    rng = np.random.RandomState(3)
+    x1 = rng.randn(1, 9, 9, 4).astype(np.float32)
+    x2 = rng.randn(1, 9, 9, 2).astype(np.float32)
+    interleaved = space_to_depth(jnp.concatenate([jnp.asarray(x1),
+                                                  jnp.asarray(x2)], -1), r)
+    blocks = jnp.concatenate([space_to_depth(jnp.asarray(x1), r),
+                              space_to_depth(jnp.asarray(x2), r)], -1)
+    perm = concat_blocks_perm([4, 2], r)
+    np.testing.assert_array_equal(np.asarray(interleaved)[..., perm]
+                                  if False else
+                                  np.asarray(interleaved)[:, :, :, perm],
+                                  np.asarray(blocks))
+
+
+def _rand_like(tree, rng):
+    return jax.tree_util.tree_map(
+        lambda a: jnp.asarray(rng.randn(*a.shape).astype(np.float32) * 0.2),
+        tree)
+
+
+@pytest.mark.parametrize("use_detail", [False, True])
+def test_full_model_repack_equality(use_detail):
+    """Faithful forward == s2d forward with repacked weights (inference)."""
+    cfg_f = ModelConfig(max_disp=54, base_channels=4, num_stage=4,
+                        down_scale=3, cost_func="cor", use_detail=use_detail,
+                        thold=0.5, dtype="float32", matching_impl="xla",
+                        s2d_fine=False)
+    cfg_s = ModelConfig(**{**cfg_f.__dict__, "s2d_fine": True,
+                           "s2d_stages": 1})
+    mf = get_model("decnet", cfg_f)
+    ms = get_model("decnet", cfg_s)
+    rng = np.random.RandomState(0)
+    B, H, W = 2, 54, 54
+    left = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+    right = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+    masks = [jnp.asarray((rng.rand(B, H // s, W // s) < 0.5)
+                         .astype(np.float32)) for s in (9, 3, 1)]
+    rmasks = [jnp.asarray((rng.rand(B, H // s, W // s) < 0.5)
+                          .astype(np.float32)) for s in (9, 3, 1)]
+
+    vf = mf.init(jax.random.PRNGKey(0), left, right, masks, rmasks)
+    # randomise every parameter and BN statistic so a wrong mapping cannot
+    # hide behind zeros/ones initialisers
+    prng = np.random.RandomState(7)
+    vf = {"params": _rand_like(vf["params"], prng),
+          "batch_stats": jax.tree_util.tree_map(
+              lambda a: jnp.asarray(
+                  np.abs(prng.randn(*a.shape)).astype(np.float32) + 0.5),
+              vf["batch_stats"])}
+
+    vs = repack_faithful_to_s2d(vf, cfg_f)
+
+    # the repacked tree must be structurally identical to a fresh s2d init
+    vs_ref = ms.init(jax.random.PRNGKey(1), left, right, masks, rmasks)
+    ref_shapes = jax.tree_util.tree_map(lambda a: a.shape, vs_ref)
+    got_shapes = jax.tree_util.tree_map(lambda a: np.asarray(a).shape, vs)
+    assert jax.tree_util.tree_structure(ref_shapes) == \
+        jax.tree_util.tree_structure(got_shapes)
+    assert ref_shapes == got_shapes
+
+    of = mf.apply(vf, left, right, masks, rmasks, train=False)
+    os_ = ms.apply(vs, left, right, masks, rmasks, train=False)
+    for key in ("preds", "dense", "sparse", "fusion", "soft_mask"):
+        for a, b in zip(of[key], os_[key]):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=2e-4, atol=2e-4)
