@@ -52,14 +52,29 @@ class _TexFn:
 
     Each component grid is pre-resized along H to full height (y is never
     resampled; disparity shifts only x) and kept at its native W resolution;
-    sampling bilinearly interpolates along W at x * (gw-1)/(w-1).
+    sampling bilinearly interpolates along W at x * (gw-1)/(wd-1).
+
+    The texture DOMAIN spans [0, wd) image-space columns with wd = w +
+    max_disp: the right view samples x + d_r up to w-1+max_disp, and a
+    domain that ends at w-1 would leave the right image's trailing band
+    black.  That band's giant step edge used to dominate the detail mask's
+    per-image min-max normalisation, collapsing right-mask density ~40x
+    below the left's and starving the sparse-matching branch of candidates
+    (SpaMat skips tar_mask==0 pixels, SM_kernel.cu:90-99).
     """
 
-    def __init__(self, key, b, h, w, gains=(120.0, 80.0, 55.0),
-                 widths=None):
-        # component W-resolutions: coarse colour, mid detail, pixel noise
-        self.w = w
-        widths = widths or (6, 25, 2 * w)
+    def __init__(self, key, b, h, w, wd=None, gains=(120.0, 80.0, 130.0)):
+        # fine-noise gain 130 (was 55): with surface-attached texture the
+        # residual max is a step edge, and the min-max-normalised mask
+        # keeps only residuals above 0.3*max — at gain 55 full-res density
+        # collapsed to 0.04; at 130 it lands at ~0.2 (left) / 0.35 (right)
+        # with exact-correspondence availability 0.61 (0.84 within +-1 px),
+        # the reference's "realistic density" regime (docs/performance.md)
+        # component W-resolutions: coarse colour, mid detail, pixel noise —
+        # counts scale with the domain so feature SIZE is w-independent
+        self.wd = wd = wd or w
+        widths = (max(2, round(6 * wd / w)), max(2, round(25 * wd / w)),
+                  2 * wd)
         self.grids = []
         self.gains = gains
         for i, (gw, gain) in enumerate(zip(widths, gains)):
@@ -75,7 +90,8 @@ class _TexFn:
         out = 0.0
         for g, gain in zip(self.grids, self.gains):
             gw = g.shape[2]
-            gx = jnp.clip(x, 0.0, self.w - 1.0) * ((gw - 1.0) / (self.w - 1.0))
+            gx = jnp.clip(x, 0.0, self.wd - 1.0) \
+                * ((gw - 1.0) / (self.wd - 1.0))
             # clip BEFORE computing fx so the exact right edge interpolates
             # to g[gw-1] (x0=gw-2, fx=1) instead of snapping to g[gw-2] —
             # the snap put a sharp seam in the last column of every smooth
@@ -89,26 +105,38 @@ class _TexFn:
         return jnp.clip(out, 0, 255)
 
 
-def _rect_overlay(key, disp, n, h_rng, w_rng, d_rng, max_disp):
+def _rect_overlay(key, disp, off, n, h_rng, w_rng, d_rng, max_disp, wd):
     """Overlay `n` fronto-parallel rectangles per sample (later wins).
 
     h_rng/w_rng are (lo, hi) fractions of H/W for the rectangle size; d_rng
-    is the disparity range as a fraction of max_disp."""
+    is the disparity range as a fraction of max_disp.  Each rectangle also
+    paints a per-surface TEXTURE OFFSET into `off`: views sample the shared
+    texture at x + off(x), so depth edges coincide with texture
+    discontinuities in BOTH views.  Without this the left view is a
+    continuous function of x (no appearance change at depth edges): its
+    detail-residual max is texture-only while the right view's occlusion
+    step edges run ~2x higher, and the reference's min-max-normalised mask
+    (utils.py:504-533 semantics) collapses on the right view — which
+    starved SpaMat of tar candidates.  Surface-attached texture is also
+    what makes thin structures matchable at all (their interior otherwise
+    looks exactly like the background's continuation)."""
     B, H, W = disp.shape
     ys = jnp.arange(H, dtype=jnp.float32)[None, :, None]
     xs = jnp.arange(W, dtype=jnp.float32)[None, None, :]
     for i in range(n):
         key, k1 = jax.random.split(key)
-        u = jax.random.uniform(k1, (5, B), jnp.float32)
+        u = jax.random.uniform(k1, (6, B), jnp.float32)
         bh = (h_rng[0] + (h_rng[1] - h_rng[0]) * u[0]) * H
         bw = (w_rng[0] + (w_rng[1] - w_rng[0]) * u[1]) * W
         y0 = u[2] * (H - bh)
         x0 = u[3] * (W - bw)
         d = (d_rng[0] + (d_rng[1] - d_rng[0]) * u[4]) * max_disp
+        o = (0.05 + 0.9 * u[5]) * wd
         inside = ((ys >= y0[:, None, None]) & (ys < (y0 + bh)[:, None, None])
                   & (xs >= x0[:, None, None]) & (xs < (x0 + bw)[:, None, None]))
         disp = jnp.where(inside, d[:, None, None], disp)
-    return disp
+        off = jnp.where(inside, o[:, None, None], off)
+    return disp, off
 
 
 @functools.partial(jax.jit, static_argnames=("batch", "h", "w", "max_disp",
@@ -122,17 +150,22 @@ def make_device_batch(key, *, batch: int, h: int, w: int, max_disp: int,
     in `dtype`, gt (B,H,W) f32, left_masks/right_masks lists of (B,h_s,w_s)
     f32 binary masks coarsest-first (resolutions H/scale^(levels-1)..H)."""
     k_tex, k_bg, k_box, k_bar = jax.random.split(key, 4)
+    wd = w + max_disp
 
-    # --- disparity: smooth background + boxes + thin bars (fine detail)
+    # --- disparity: smooth background + boxes + thin bars (fine detail);
+    # every rectangle also carries a per-surface texture offset (see
+    # _rect_overlay) so depth edges have appearance in both views
     disp = _smooth_field(k_bg, batch, h, w, 4, 0.1 * max_disp, 0.45 * max_disp)
-    disp = _rect_overlay(k_box, disp, 3, (1 / 8, 1 / 3), (1 / 8, 1 / 3),
-                         (0.5, 0.9), max_disp)
+    off = jnp.zeros_like(disp)
+    disp, off = _rect_overlay(k_box, disp, off, 3, (1 / 8, 1 / 3),
+                              (1 / 8, 1 / 3), (0.5, 0.9), max_disp, wd)
     # thin structures: tall-narrow and short-wide bars 1-6 px thick whose
     # disparity is lost at 1/27 resolution — the decomposition's target case
-    disp = _rect_overlay(k_bar, disp, 3, (0.25, 0.6), (0.004, 0.025),
-                         (0.55, 0.95), max_disp)
-    disp = _rect_overlay(jax.random.fold_in(k_bar, 1), disp, 3,
-                         (0.004, 0.04), (0.15, 0.5), (0.55, 0.95), max_disp)
+    disp, off = _rect_overlay(k_bar, disp, off, 3, (0.25, 0.6),
+                              (0.004, 0.025), (0.55, 0.95), max_disp, wd)
+    disp, off = _rect_overlay(jax.random.fold_in(k_bar, 1), disp, off, 3,
+                              (0.004, 0.04), (0.15, 0.5), (0.55, 0.95),
+                              max_disp, wd)
 
     # --- views: sample the shared procedural texture; left at x, right at
     # x + d_right (exact epipolar geometry, equal sharpness in both views).
@@ -140,7 +173,9 @@ def make_device_batch(key, *, batch: int, h: int, w: int, max_disp: int,
     # pixel x truly matches right pixel x - d_l(x) (except where occluded):
     # starting from d_r = d_l and resampling converges on piecewise-smooth
     # fields; the non-converged bands are exactly the occlusions.
-    tex = _TexFn(k_tex, batch, h, w)
+    # The domain extends max_disp past the left frame so the right view is
+    # fully textured (see _TexFn).
+    tex = _TexFn(k_tex, batch, h, w, wd=wd)
     xs = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, None, :],
                           disp.shape)
 
@@ -157,9 +192,16 @@ def make_device_batch(key, *, batch: int, h: int, w: int, max_disp: int,
     for _ in range(4):
         d_r = sample_w(disp, xs + d_r)
 
-    left = tex(xs)
-    src = xs + d_r
-    right = jnp.where((src > w - 1)[..., None], 0.0, tex(src))
+    def view(x):
+        """Composite scene function: texture at x + surface offset(x),
+        wrapped onto the domain (off is piecewise-constant per surface and
+        sampled nearest so its depth edges stay crisp)."""
+        xo = jnp.clip(jnp.round(x).astype(jnp.int32), 0, w - 1)
+        o = jnp.take_along_axis(off, xo, axis=2)
+        return tex(jnp.mod(x + o, wd))
+
+    left = view(xs)
+    right = view(xs + d_r)
 
     # --- detail masks on the [0,1] images (same op the demo CLI uses)
     lm = detail_masks(left / 255.0, scale, levels, thold)

@@ -30,10 +30,16 @@ def _smooth_field(rng, h, w, cells, lo, hi):
     return lo + (hi - lo) * v
 
 
-def _tex_grids(rng, h, w) -> List[Tuple[np.ndarray, float]]:
-    """Texture component grids, pre-resized along H (W stays native)."""
+def _tex_grids(rng, h, w, wd) -> List[Tuple[np.ndarray, float]]:
+    """Texture component grids, pre-resized along H (W stays native).
+
+    The domain spans wd = w + max_disp columns (counts scale with wd/w so
+    feature size is w-independent) so the right view is fully textured —
+    see device_synth._TexFn for why the old black trailing band collapsed
+    right-mask density ~40x."""
     grids = []
-    for gw, gain in ((6, 120.0), (25, 80.0), (2 * w, 55.0)):
+    for gw, gain in ((max(2, round(6 * wd / w)), 120.0),
+                     (max(2, round(25 * wd / w)), 80.0), (2 * wd, 130.0)):
         gh = min(gw, 2 * h)
         g = rng.rand(gh, gw, 3).astype(np.float32)
         my = _resize_matrix(gh, h, "bilinear")
@@ -41,49 +47,56 @@ def _tex_grids(rng, h, w) -> List[Tuple[np.ndarray, float]]:
     return grids
 
 
-def _tex(grids, x, w):
+def _tex(grids, x, wd):
     """Sample the texture function at fractional x (h,w) -> (h,w,3)."""
     h = x.shape[0]
     rows = np.arange(h)[:, None]
     out = 0.0
     for g, gain in grids:
         gw = g.shape[1]
-        gx = np.clip(x, 0.0, w - 1.0) * ((gw - 1.0) / (w - 1.0))
+        gx = np.clip(x, 0.0, wd - 1.0) * ((gw - 1.0) / (wd - 1.0))
         x0 = np.clip(np.floor(gx).astype(np.int64), 0, gw - 2)
         fx = (gx - x0)[..., None].astype(np.float32)
         out = out + gain * (g[rows, x0] * (1 - fx) + g[rows, x0 + 1] * fx)
     return np.clip(out, 0, 255)
 
 
-def _rect_overlay(rng, disp, n, h_rng, w_rng, d_rng, max_disp):
-    """Overlay n fronto-parallel rectangles (device_synth._rect_overlay)."""
+def _rect_overlay(rng, disp, off, n, h_rng, w_rng, d_rng, max_disp, wd):
+    """Overlay n fronto-parallel rectangles (device_synth._rect_overlay).
+    Each rectangle also paints a per-surface texture offset into `off` so
+    depth edges have appearance in both views (see the device twin)."""
     h, w = disp.shape
     ys = np.arange(h, dtype=np.float32)[:, None]
     xs = np.arange(w, dtype=np.float32)[None, :]
     for _ in range(n):
-        u = rng.rand(5).astype(np.float32)
+        u = rng.rand(6).astype(np.float32)
         bh = (h_rng[0] + (h_rng[1] - h_rng[0]) * u[0]) * h
         bw = (w_rng[0] + (w_rng[1] - w_rng[0]) * u[1]) * w
         y0 = u[2] * (h - bh)
         x0 = u[3] * (w - bw)
         d = (d_rng[0] + (d_rng[1] - d_rng[0]) * u[4]) * max_disp
+        o = (0.05 + 0.9 * u[5]) * wd
         inside = (ys >= y0) & (ys < y0 + bh) & (xs >= x0) & (xs < x0 + bw)
         disp = np.where(inside, np.float32(d), disp)
-    return disp
+        off = np.where(inside, np.float32(o), off)
+    return disp, off
 
 
 def make_pair(rng: np.random.RandomState, h: int, w: int, max_disp: int
               ) -> Dict[str, np.ndarray]:
     """Returns dict(left, right (H,W,3) in [0,255], gt (H,W)) — the numpy
     twin of device_synth.make_device_batch (same scene distribution)."""
-    # disparity: smooth background + boxes + thin bars (fine detail)
+    # disparity: smooth background + boxes + thin bars (fine detail);
+    # rectangles carry per-surface texture offsets (see device twin)
+    wd = w + max_disp
     disp = _smooth_field(rng, h, w, 4, 0.1 * max_disp, 0.45 * max_disp)
-    disp = _rect_overlay(rng, disp, 3, (1 / 8, 1 / 3), (1 / 8, 1 / 3),
-                         (0.5, 0.9), max_disp)
-    disp = _rect_overlay(rng, disp, 3, (0.25, 0.6), (0.004, 0.025),
-                         (0.55, 0.95), max_disp)
-    disp = _rect_overlay(rng, disp, 3, (0.004, 0.04), (0.15, 0.5),
-                         (0.55, 0.95), max_disp)
+    off = np.zeros_like(disp, np.float32)
+    disp, off = _rect_overlay(rng, disp, off, 3, (1 / 8, 1 / 3),
+                              (1 / 8, 1 / 3), (0.5, 0.9), max_disp, wd)
+    disp, off = _rect_overlay(rng, disp, off, 3, (0.25, 0.6), (0.004, 0.025),
+                              (0.55, 0.95), max_disp, wd)
+    disp, off = _rect_overlay(rng, disp, off, 3, (0.004, 0.04), (0.15, 0.5),
+                              (0.55, 0.95), max_disp, wd)
     disp = disp.astype(np.float32)
 
     # right-view disparity: fixed point d_r(u) = d_l(u + d_r(u)) so left
@@ -101,11 +114,16 @@ def make_pair(rng: np.random.RandomState, h: int, w: int, max_disp: int
     for _ in range(4):
         d_r = sample_w(disp, xs + d_r)
 
-    grids = _tex_grids(rng, h, w)
-    left = _tex(grids, xs, w).astype(np.float32)
-    src = xs + d_r
-    right = np.where((src > w - 1)[..., None], 0.0,
-                     _tex(grids, src, w)).astype(np.float32)
+    grids = _tex_grids(rng, h, w, wd)
+
+    def view(x):
+        """Composite scene function: texture at x + surface offset(x)."""
+        xo = np.clip(np.round(x).astype(np.int64), 0, w - 1)
+        o = off[rows, xo]
+        return _tex(grids, np.mod(x + o, wd), wd).astype(np.float32)
+
+    left = view(xs)
+    right = view(xs + d_r)
     return {"left": left, "right": right, "gt": disp}
 
 
