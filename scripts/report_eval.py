@@ -11,6 +11,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from decnet_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 import jax
+if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+    # honour an explicit CPU request under the TPU harness (conftest trick)
+    for _v in ("PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE"):
+        os.environ.pop(_v, None)
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 from decnet_tpu.config import Config
@@ -31,6 +36,9 @@ p.add_argument("--use_detail", action="store_true")
 p.add_argument("--thold", type=float, default=0.9)
 p.add_argument("--json", type=str, default=None)
 p.add_argument("--seed", type=int, default=37)
+p.add_argument("--exec_s2d", action="store_true",
+               help="evaluate faithful weights through the exact s2d "
+                    "repack (models/repack.py) — same numbers, s2d speed")
 args = p.parse_args()
 
 cfg = Config()
@@ -48,6 +56,9 @@ step = int(state.step)
 print(f"checkpoint step {step}  (s2d={args.s2d} use_detail={args.use_detail})")
 
 variables = {"params": state.params, "batch_stats": state.batch_stats}
+if args.exec_s2d and not args.s2d:
+    from decnet_tpu.models.repack import s2d_exec
+    model, variables = s2d_exec(variables, cfg.model)
 
 import functools
 
@@ -98,6 +109,25 @@ for bi in range(args.batches):
             add(f"mask_{k}",
                 (err * v).sum() / jnp.maximum(v.sum(), 1.0), 0.0)
         dens.append(float(out["masks_used"][-1].mean()))
+        # candidate availability: fraction of left mask pixels whose true
+        # match (+-1 px) is a right detail pixel — SpaMat skips tar_mask==0
+        # (SM_kernel.cu:90-99), so this bounds what the sparse branch can do
+        rm_full = np.asarray(batch["right_masks"][-1]) > 0 \
+            if batch.get("right_masks") else None
+        if rm_full is not None:
+            lm_np = np.asarray(out["masks_used"][-1]) > 0
+            gt_np = np.asarray(gt, np.float32)
+            W = lm_np.shape[2]
+            xs_np = np.arange(W)[None, None, :]
+            srci = np.clip(np.round(xs_np - gt_np).astype(int), 0, W - 1)
+            hit = np.zeros_like(lm_np)
+            for dd in (-1, 0, 1):
+                hit |= np.take_along_axis(
+                    rm_full, np.clip(srci + dd, 0, W - 1), axis=2)
+            vmask = lm_np & np.broadcast_to((xs_np - gt_np) >= 0, lm_np.shape)
+            if vmask.any():
+                acc.setdefault("cand_avail", []).append(
+                    (float(hit[vmask].mean()), 0.0))
 
 report = {"step": step, "s2d": args.s2d, "use_detail": args.use_detail,
           "batches": args.batches}
