@@ -33,7 +33,8 @@ REFERENCE_FLOPS_PER_PAIR_G = 172.43
 
 def main():
     import os
-    if os.environ.get("JAX_PLATFORMS") == "cpu":
+    cpu_smoke = os.environ.get("JAX_PLATFORMS") == "cpu"
+    if cpu_smoke:
         # explicit CPU smoke: drop the axon remote-compile pool, which would
         # stall every CPU compile 60-100s (see tests/conftest.py)
         for _v in ("PALLAS_AXON_REMOTE_COMPILE", "PALLAS_AXON_POOL_IPS"):
@@ -42,10 +43,16 @@ def main():
     enable_compilation_cache()
     import jax
     import jax.numpy as jnp
-    try:
-        ensure_tpu()
-    except RuntimeError:
-        pass  # CPU smoke mode below
+    if cpu_smoke:
+        # the TPU harness import hook rewrites jax_platforms to "axon,cpu"
+        # over the exported variable; override it back so a CPU smoke can
+        # never seize the single-tenant chip (e.g. while training holds it)
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        try:
+            ensure_tpu()
+        except RuntimeError:
+            pass  # CPU fallback below
     from decnet_tpu.config import ModelConfig
     from decnet_tpu.models import get_model
 
@@ -186,7 +193,7 @@ def main():
     out = {
         "metric": "pairs_per_sec",
         "value": round(pairs_per_sec, 3),
-        "unit": f"stereo pairs/s (540x972, max_disp 216, bf16, s2d, "
+        "unit": f"stereo pairs/s ({H}x{W}, max_disp 216, bf16, s2d, "
                 f"precomputed masks density {density:.2f}, 1 chip, "
                 f"backend={backend})",
         "vs_baseline": round(pairs_per_sec / REFERENCE_PAIRS_PER_SEC_ESTIMATE,
