@@ -200,6 +200,11 @@ class DecNet(nn.Module):
                 out["sparse"].append(sparse)
                 out["var"].append(var)
 
+            # packed twins keep the faithful stage's widths and receptive
+            # fields exactly (models/repack.py maps faithful weights on):
+            # SoftAttention's hidden width is base_channels at EVERY stage
+            # (submodule.py:593-604); Refinement's is the stage's channels
+            stage_ch = cfg.base_channels * scale ** (ns - 1 - stage)
             if s2d:
                 soft = SoftAttentionS2D(scale,
                                         hidden=scale * scale
@@ -230,8 +235,14 @@ class DecNet(nn.Module):
             out["fusion"].append(s2d_to_plane(fused, scale) if s2d else fused)
 
             if s2d:
+                from decnet_tpu.models.repack import packed_geometry
+                ds = Refinement._DILATIONS[stage]
+                kern, dil = [3] * 7, [1] * 7
+                for ci, d in zip((0, 2, 4), ds):
+                    kern[ci], dil[ci] = packed_geometry(d, scale)
                 pred_s2d, residual_s2d = RefinementS2D(
-                    scale, hidden=scale * scale * cfg.base_channels,
+                    scale, hidden=scale * scale * stage_ch,
+                    kernels=tuple(kern), dilations=tuple(dil),
                     dtype=dtype, name=f"refine_{stage - 1}")(
                     lf, rf_rows, fused, s2d_to_plane(fused, scale),
                     train=train, max_disp=cur_max_disp)

@@ -43,21 +43,31 @@ import numpy as np
 
 # ---------------------------------------------------------------- kernels
 
+def packed_geometry(d: int, r: int):
+    """(packed kernel extent E, packed dilation pd) of a full-res 3-tap
+    conv with dilation d over the r-packed grid: taps at {-d,0,d} land on
+    packed offsets {-ceil(d/r)..ceil(d/r)}; when d is a multiple of r they
+    stay phase-diagonal and compress to a 3-tap conv with dilation d/r."""
+    if d > 1 and d % r == 0:
+        return 3, d // r
+    return 2 * ((d + r - 1) // r) + 1, 1
+
+
 def pack_conv3x3(K: np.ndarray, r: int, dilation: int = 1,
                  in_perm: Optional[np.ndarray] = None) -> np.ndarray:
-    """Full-res 3x3 conv kernel (3,3,Cin,Cout), dilation d (1 or a multiple
-    of r), SAME padding -> packed s2d kernel (3,3,r*r*Cin,r*r*Cout) to be
-    applied with dilation max(1, d//r).  Channel layout is interleaved:
-    index (i*r + j)*C + c (== layers.space_to_depth).  `in_perm` maps the
-    *provided* input channel k to the interleaved index in_perm[k] (for
-    graphs that concatenate per-tensor s2d blocks instead of s2d-ing the
-    concat)."""
+    """Full-res 3x3 conv kernel (3,3,Cin,Cout), dilation d, SAME padding ->
+    packed s2d kernel (E,E,r*r*Cin,r*r*Cout) to be applied with dilation pd
+    and padding pd*(E-1)//2, where (E, pd) = packed_geometry(d, r).
+    Channel layout is interleaved: index (i*r + j)*C + c
+    (== layers.space_to_depth).  `in_perm` maps the *provided* input channel
+    k to the interleaved index in_perm[k] (for graphs that concatenate
+    per-tensor s2d blocks instead of s2d-ing the concat)."""
     kh, kw, Cin, Cout = K.shape
     assert (kh, kw) == (3, 3)
     d = dilation
-    pd = d // r if (d > 1 and d % r == 0) else 1
-    assert d == 1 or d % r == 0, f"unsupported full-res dilation {d} for r={r}"
-    KP = np.zeros((3, 3, r * r * Cin, r * r * Cout), K.dtype)
+    E, pd = packed_geometry(d, r)
+    c0 = (E - 1) // 2   # centre slot
+    KP = np.zeros((E, E, r * r * Cin, r * r * Cout), K.dtype)
     for io in range(r):
         for jo in range(r):
             for ty in range(3):
@@ -65,7 +75,7 @@ def pack_conv3x3(K: np.ndarray, r: int, dilation: int = 1,
                     qy, ii = divmod(io + (ty - 1) * d, r)
                     qx, jj = divmod(jo + (tx - 1) * d, r)
                     assert qy % pd == 0 and qx % pd == 0
-                    KP[qy // pd + 1, qx // pd + 1,
+                    KP[qy // pd + c0, qx // pd + c0,
                        (ii * r + jj) * Cin:(ii * r + jj + 1) * Cin,
                        (io * r + jo) * Cout:(io * r + jo + 1) * Cout] \
                         = K[ty, tx]
@@ -242,17 +252,55 @@ class _Repacker:
         return out
 
 
-def repack_faithful_to_s2d(variables, cfg) -> Dict:
+def _repack_stage_heads(rp: "_Repacker", stage: int, C: int,
+                        dils: Sequence[int]):
+    """Repack one fine stage's heads (dyn_up/soft_att/refine/detail, list
+    index stage-1) from faithful NHWC form onto the packed S2D twins.
+    C = the stage's faithful channel count; dils = the stage's Refinement
+    dilation schedule (Refinement._DILATIONS[stage])."""
+    r = rp.r
+    hid = stage - 1
+    rp.conv_unit([f"dyn_up_{hid}", "w0"], "perm_only",
+                 in_perm=unfold_to_s2d_perm(C, r, lead=1))
+    sa = f"soft_att_{hid}"
+    rp.conv_unit([sa, "c0"], "pack33",
+                 in_perm=concat_blocks_perm([C, 1, 1, 1, 1], r))
+    rp.conv_unit([sa, "c1"], "pack33")
+    rp.conv_unit([sa, "c2"], "pack33")
+    rf = f"refine_{hid}"
+    d1, d2, d3 = dils
+    rp.conv_unit([rf, "c0"], "pack33", dilation=d1,
+                 in_perm=concat_blocks_perm([C, C, 1], r))
+    rp.conv_unit([rf, "c1"], "pack33")
+    rp.conv_unit([rf, "c2"], "pack33", dilation=d2)
+    rp.conv_unit([rf, "c3"], "pack33")
+    rp.conv_unit([rf, "c4"], "pack33", dilation=d3)
+    rp.conv_unit([rf, "c5"], "pack33")
+    rp.conv_unit([rf, "c6"], "pack33")
+    dt = f"detail_{hid}"
+    if dt in rp.params:
+        rp.conv_unit([dt, "deconv0"], "deconv11",
+                     src_conv="ConvTranspose_0")
+        rp.conv_unit([dt, "deconv1"], "pack33")
+        rp.conv_unit([dt, "sub0"], "pack33")
+        rp.conv_unit([dt, "sub1"], "pack33")
+        rp.conv_unit([dt, "head0"], "pack33")
+        rp.conv_unit([dt, "head1"], "pack11")
+
+
+def repack_faithful_to_s2d(variables, cfg, stages: int = 1) -> Dict:
     """Faithful (s2d_fine=False) DecNet variables -> the exact-equivalent
-    variables for the s2d variant (s2d_fine=True, s2d_stages=1) of the same
-    ModelConfig.  Inference-exact (tests/test_repack.py); not for training
-    (packed BN would collect per-phase batch statistics)."""
+    variables for the s2d variant (s2d_fine=True, s2d_stages=`stages`) of
+    the same ModelConfig.  stages=2 additionally packs the 1/3-res stage's
+    heads (its NHWC C=3*base convs pay ~5x lane padding).  Inference-exact
+    (tests/test_repack.py); not for training (packed BN would collect
+    per-phase batch statistics)."""
+    from decnet_tpu.nn.heads import Refinement
     assert getattr(cfg, "norm", "bn") == "bn", "repack assumes BatchNorm"
     r = int(cfg.down_scale)
     C = int(cfg.base_channels)
     ns = int(cfg.num_stage)
     last = ns - 1          # the full-res stage index
-    hid = last - 1         # head list index ("_2" at the flagship config)
     rp = _Repacker(variables, r)
     fe = ["feature_extractor"]
 
@@ -274,45 +322,40 @@ def repack_faithful_to_s2d(variables, cfg) -> Dict:
     except KeyError:
         pass
 
-    # stage-(ns-1) heads -> S2D twins
-    rp.conv_unit([f"dyn_up_{hid}", "w0"], "perm_only",
-                 in_perm=unfold_to_s2d_perm(C, r, lead=1))
-    sa = f"soft_att_{hid}"
-    rp.conv_unit([sa, "c0"], "pack33",
-                 in_perm=concat_blocks_perm([C, 1, 1, 1, 1], r))
-    rp.conv_unit([sa, "c1"], "pack33")
-    rp.conv_unit([sa, "c2"], "pack33")
-    rf = f"refine_{hid}"
-    d1, d2, d3 = (3, 6, 9) if last == 3 else (2, 4, 6)
-    rp.conv_unit([rf, "c0"], "pack33", dilation=d1,
-                 in_perm=concat_blocks_perm([C, C, 1], r))
-    rp.conv_unit([rf, "c1"], "pack33")
-    rp.conv_unit([rf, "c2"], "pack33", dilation=d2)
-    rp.conv_unit([rf, "c3"], "pack33")
-    rp.conv_unit([rf, "c4"], "pack33", dilation=d3)
-    rp.conv_unit([rf, "c5"], "pack33")
-    rp.conv_unit([rf, "c6"], "pack33")
-    dt = f"detail_{hid}"
-    if dt in rp.params:
-        rp.conv_unit([dt, "deconv0"], "deconv11",
-                     src_conv="ConvTranspose_0")
-        rp.conv_unit([dt, "deconv1"], "pack33")
-        rp.conv_unit([dt, "sub0"], "pack33")
-        rp.conv_unit([dt, "sub1"], "pack33")
-        rp.conv_unit([dt, "head0"], "pack33")
-        rp.conv_unit([dt, "head1"], "pack11")
-
+    _repack_stage_heads(rp, last, C, Refinement._DILATIONS[last])
+    if stages >= 2:
+        repack_stage2_heads(rp, cfg)
     return rp.result()
 
 
-def s2d_exec(variables, cfg_model):
-    """(model, variables) for the exact s2d execution of a faithful
-    configuration: same weights, same outputs (tests/test_repack.py), s2d
-    throughput.  `cfg_model` must have s2d_fine=False."""
+def repack_stage2_heads(rp: "_Repacker", cfg):
+    """Pack the 1/3-res stage's heads in place (usable on a faithful tree,
+    inside repack_faithful_to_s2d, OR on an s2d_stages=1 tree whose stage-2
+    heads are still NHWC — the module parameters are identical).  The
+    extractor needs no weight change: s2d_mid packing is a pure reshape."""
+    from decnet_tpu.nn.heads import Refinement
+    ns = int(cfg.num_stage)
+    stage = ns - 2
+    C = int(cfg.base_channels) * int(cfg.down_scale) ** (ns - 1 - stage)
+    _repack_stage_heads(rp, stage, C, Refinement._DILATIONS[stage])
+
+
+def s2d_exec(variables, cfg_model, stages: int = 1):
+    """(model, variables) for the exact s2d execution of a checkpoint:
+    same weights, same outputs (tests/test_repack.py), s2d throughput.
+
+    - faithful cfg (s2d_fine=False): full repack (+ stage-2 when stages=2)
+    - s2d cfg (s2d_fine=True, s2d_stages=1) with stages=2: packs only the
+      stage-2 heads (they are faithful-form in that graph)"""
     from decnet_tpu.config import ModelConfig
     from decnet_tpu.models import get_model
-    assert not cfg_model.s2d_fine, "already the s2d variant"
     cfg_s = ModelConfig(**{**cfg_model.__dict__, "s2d_fine": True,
-                           "s2d_stages": 1})
+                           "s2d_stages": stages})
+    if cfg_model.s2d_fine:
+        assert getattr(cfg_model, "s2d_stages", 1) == 1 and stages == 2, \
+            "s2d checkpoint: only the stage-2-packing upgrade applies"
+        rp = _Repacker(variables, int(cfg_model.down_scale))
+        repack_stage2_heads(rp, cfg_model)
+        return get_model(cfg_model.arch, cfg_s), rp.result()
     return (get_model(cfg_model.arch, cfg_s),
-            repack_faithful_to_s2d(variables, cfg_model))
+            repack_faithful_to_s2d(variables, cfg_model, stages))

@@ -167,10 +167,18 @@ class RefinementS2D(nn.Module):
     """Residual refinement in s2d form (cf. Refinement stage 3,
     submodule.py:707-716): right features arrive rows-form and are warped by
     the Pallas rows kernel (no layout cost), then s2d-packed; the 7-conv head
-    runs at 1/s resolution with the dilation schedule divided by s (same
-    full-res receptive field); the residual stays in s2d form."""
+    runs at 1/s resolution with per-conv (kernel, dilation) schedules that
+    keep the faithful head's full-res receptive fields; the residual stays
+    in s2d form.
+
+    The default schedule is the packed twin of the stage-3 dilations 3/6/9
+    (repack.packed_geometry: phase-diagonal, dilations 1/2/3).  The stage-2
+    twin of dilations 2/4/6 is kernels (3,3,5,3,3,3,3) with dilations
+    (1,1,1,1,2,1,1) — d=4 needs a 5-tap phase-mixing conv."""
     scale: int = 3
     hidden: int = 72
+    kernels: Tuple[int, ...] = (3, 3, 3, 3, 3, 3, 3)
+    dilations: Tuple[int, ...] = (1, 1, 2, 1, 3, 1, 1)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -193,20 +201,12 @@ class RefinementS2D(nn.Module):
         warped = warped.astype(left_s2d.dtype)
         x = jnp.concatenate([left_s2d, warped,
                              disp_s2d.astype(left_s2d.dtype)], axis=-1)
-        x = ConvUnit(h, 3, padding=1, dtype=self.dtype,
-                     name="c0")(x, train=train)
-        x = ConvUnit(h, 3, padding=1, dtype=self.dtype,
-                     name="c1")(x, train=train)
-        x = ConvUnit(h, 3, dilation=2, padding=2, dtype=self.dtype,
-                     name="c2")(x, train=train)
-        x = ConvUnit(h // 2, 3, padding=1, dtype=self.dtype,
-                     name="c3")(x, train=train)
-        x = ConvUnit(h // 2, 3, dilation=3, padding=3, dtype=self.dtype,
-                     name="c4")(x, train=train)
-        x = ConvUnit(h // 2, 3, padding=1, dtype=self.dtype,
-                     name="c5")(x, train=train)
-        x = ConvUnit(r * r, 3, padding=1, relu=False, bn=False,
-                     dtype=self.dtype, name="c6")(x, train=train)
+        feats = (h, h, h, h // 2, h // 2, h // 2, r * r)
+        for i, (f, k, d) in enumerate(zip(feats, self.kernels,
+                                          self.dilations)):
+            x = ConvUnit(f, k, dilation=d, padding=d * (k - 1) // 2,
+                         relu=i < 6, bn=i < 6, dtype=self.dtype,
+                         name=f"c{i}")(x, train=train)
         residual_s2d = x.astype(jnp.float32)
         return disp_s2d + residual_s2d, residual_s2d
 

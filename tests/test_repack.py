@@ -29,17 +29,19 @@ def _conv(x, K, dilation=1, stride=1, padding=None):
         rhs_dilation=(d, d), dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
-@pytest.mark.parametrize("dilation", [1, 3, 6, 9])
+@pytest.mark.parametrize("dilation", [1, 2, 3, 4, 6, 9])
 def test_pack_conv3x3_matches_full_res(dilation):
+    from decnet_tpu.models.repack import packed_geometry
     r, Cin, Cout = 3, 4, 5
     rng = np.random.RandomState(0)
     x = rng.randn(2, 18, 27, Cin).astype(np.float32)
     K = rng.randn(3, 3, Cin, Cout).astype(np.float32)
     y = _conv(jnp.asarray(x), jnp.asarray(K), dilation=dilation)
     KP = pack_conv3x3(K, r, dilation)
-    pd = max(1, dilation // r) if dilation % r == 0 else 1
+    E, pd = packed_geometry(dilation, r)
+    assert KP.shape[:2] == (E, E)
     yp = _conv(space_to_depth(jnp.asarray(x), r), jnp.asarray(KP),
-               dilation=pd)
+               dilation=pd, padding=pd * (E - 1) // 2)
     np.testing.assert_allclose(np.asarray(depth_to_space(yp, r)),
                                np.asarray(y), rtol=1e-5, atol=1e-5)
 
@@ -104,15 +106,16 @@ def _rand_like(tree, rng):
         tree)
 
 
-@pytest.mark.parametrize("use_detail", [False, True])
-def test_full_model_repack_equality(use_detail):
+@pytest.mark.parametrize("use_detail,stages", [(False, 1), (True, 1),
+                                               (False, 2), (True, 2)])
+def test_full_model_repack_equality(use_detail, stages):
     """Faithful forward == s2d forward with repacked weights (inference)."""
     cfg_f = ModelConfig(max_disp=54, base_channels=4, num_stage=4,
                         down_scale=3, cost_func="cor", use_detail=use_detail,
                         thold=0.5, dtype="float32", matching_impl="xla",
                         s2d_fine=False)
     cfg_s = ModelConfig(**{**cfg_f.__dict__, "s2d_fine": True,
-                           "s2d_stages": 1})
+                           "s2d_stages": stages})
     mf = get_model("decnet", cfg_f)
     ms = get_model("decnet", cfg_s)
     rng = np.random.RandomState(0)
@@ -134,7 +137,7 @@ def test_full_model_repack_equality(use_detail):
                   np.abs(prng.randn(*a.shape)).astype(np.float32) + 0.5),
               vf["batch_stats"])}
 
-    vs = repack_faithful_to_s2d(vf, cfg_f)
+    vs = repack_faithful_to_s2d(vf, cfg_f, stages=stages)
 
     # the repacked tree must be structurally identical to a fresh s2d init
     vs_ref = ms.init(jax.random.PRNGKey(1), left, right, masks, rmasks)
@@ -150,3 +153,33 @@ def test_full_model_repack_equality(use_detail):
         for a, b in zip(of[key], os_[key]):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        rtol=2e-4, atol=2e-4)
+
+
+def test_s2d_checkpoint_stage2_upgrade():
+    """An s2d_stages=1 tree (stage-2 heads still NHWC) upgrades to the
+    stage-2-packed graph via s2d_exec(stages=2) with identical outputs."""
+    from decnet_tpu.models.repack import s2d_exec
+    cfg1 = ModelConfig(max_disp=54, base_channels=4, num_stage=4,
+                       down_scale=3, cost_func="cor", use_detail=False,
+                       dtype="float32", matching_impl="xla",
+                       s2d_fine=True, s2d_stages=1)
+    m1 = get_model("decnet", cfg1)
+    rng = np.random.RandomState(0)
+    B, H, W = 1, 54, 54
+    left = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+    right = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+    masks = [jnp.asarray((rng.rand(B, H // s, W // s) < 0.5)
+                         .astype(np.float32)) for s in (9, 3, 1)]
+    v1 = m1.init(jax.random.PRNGKey(0), left, right, masks, masks)
+    prng = np.random.RandomState(9)
+    v1 = {"params": _rand_like(v1["params"], prng),
+          "batch_stats": jax.tree_util.tree_map(
+              lambda a: jnp.asarray(
+                  np.abs(prng.randn(*a.shape)).astype(np.float32) + 0.5),
+              v1["batch_stats"])}
+    m2, v2 = s2d_exec(v1, cfg1, stages=2)
+    o1 = m1.apply(v1, left, right, masks, masks, train=False)
+    o2 = m2.apply(v2, left, right, masks, masks, train=False)
+    for a, b in zip(o1["preds"], o2["preds"]):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-4)
