@@ -48,9 +48,27 @@ class ModelConfig:
     s2d_fine: bool = False
     # How many trailing fine stages run in s2d form when s2d_fine is set.
     # 1 = full-res stage only (the round-2 variant); 2 additionally runs the
-    # 1/3-res stage's heads at 1/9 with 9x channels (soft-att hidden C=8 and
+    # 1/9-res stage's heads at 1/9 with 9x channels (soft-att hidden C=8 and
     # refine C=24/12 convs at 1/3 res are 5-16x lane-padded otherwise).
     s2d_stages: int = 1
+    # Matching-score temperature: the kernels score candidates by a raw
+    # feature dot product (SM_kernel.cu:94); with BN-pinned ~O(1) features the
+    # softargmin over a 216-wide band is diffuse, so the expectation washes
+    # out on multimodal texture.  match_temp scales the scores (implemented
+    # as a scale on the ref features — kernels unchanged); when
+    # match_temp_learned, a per-fine-stage log-temperature parameter is
+    # trained instead (initialised at log(match_temp)).  1.0 + False =
+    # exact reference semantics.
+    match_temp: float = 1.0
+    match_temp_learned: bool = False
+    # Candidate fallback: left mask pixels whose entire disparity band is
+    # masked out in the right view output the eps-sentinel 1.0
+    # (SM_kernel.cu:45,:100-124) — garbage the attention fusion must learn
+    # to reject.  With cand_fallback the sparse branch substitutes the dense
+    # branch's value at exactly those pixels (ops/matching.py::
+    # candidate_availability), so fusion can trust it everywhere it fires.
+    # False = exact reference semantics.
+    cand_fallback: bool = False
 
     def __post_init__(self):
         assert self.max_disp % (self.down_scale ** (self.num_stage - 1)) == 0, (
@@ -77,6 +95,13 @@ class LossConfig:
     # the predicted detail maps at this threshold before scoring them against
     # the precomputed masks. None = train mode (soft predictions).
     binary_thold: Optional[float] = None
+    # Restrict the sparse supervision term to mask pixels that actually have
+    # a candidate in the right view (the no-candidate sentinel pixels carry
+    # zero gradient but inflate the masked mean's denominator, diluting the
+    # signal ~1/3 at Gaussian-residual mask densities).  Applies when the
+    # model emits its `cand` maps; the reference masks by left_mask only
+    # (loss.py:218-227).
+    sparse_cand_mask: bool = True
 
 
 @dataclasses.dataclass
@@ -126,7 +151,7 @@ class DataConfig:
     img_cols: int = 960
     num_workers: int = 4
     mask_thold: float = 0.3
-    mask_source: str = "compute"        # compute | precomputed
+    mask_source: str = "compute"        # compute | precomputed | wavelet
     # Generate synthetic batches on-device (data.device_synth): zero per-step
     # host->device transfer and an infinite non-repeating stream. Only valid
     # with dataset="synthetic".

@@ -101,3 +101,60 @@ def stereo_pair_masks(left: np.ndarray, right: np.ndarray, scale: int = 3,
     """(left_masks, right_masks), each coarsest-first."""
     return (detail_masks_np(left, scale, levels, thold),
             detail_masks_np(right, scale, levels, thold))
+
+
+_HAAR_NP = {
+    "lh": np.array([[0.5, 0.5], [-0.5, -0.5]], np.float32),
+    "hl": np.array([[0.5, -0.5], [0.5, -0.5]], np.float32),
+    "hh": np.array([[0.5, -0.5], [-0.5, 0.5]], np.float32),
+}
+
+
+def wavelet_detail_masks_np(img: np.ndarray, scale: int = 3, levels: int = 3,
+                            target: float = 0.85) -> List[np.ndarray]:
+    """Host-side twin of ops/detail.py::wavelet_detail_masks, resampled onto
+    the model's stage grids — the paper's wavelet-based detail detection
+    (utils/Wavelet.py:66-123; shipped broken upstream: the weights pickle is
+    absent and no entry point calls it).
+
+    Per level: one Haar analysis step on the running LL approximation, max
+    |HF| over LH/HL/HH, per-image min-max normalise, binarise at the adaptive
+    first-decile threshold covering >= `target` of pixels (Wavelet.py:96-106).
+    Wavelets halve per level while the model's stages are a /scale pyramid,
+    so each level-i mask (H/2^i) is nearest-resampled to its stage grid
+    (H/scale^i).  img (H,W,C) float in [0,1]; returns masks coarsest-first
+    ([1/scale^(levels-1), ..., full-res]) like detail_masks_np."""
+    H, W = img.shape[:2]
+    gray = img.astype(np.float32).mean(axis=2)
+    masks = []
+    for lev in range(1, levels + 1):
+        h, w = gray.shape
+        if h % 2 or w % 2:   # odd dims: edge-replicate one row/col (see
+            gray = np.pad(gray, ((0, h % 2), (0, w % 2)), mode="edge")
+            h, w = gray.shape
+        x = gray.reshape(h // 2, 2, w // 2, 2)
+        e = None
+        for f in _HAAR_NP.values():
+            band = np.abs(np.einsum("hiwj,ij->hw", x, f))
+            e = band if e is None else np.maximum(e, band)
+        gray = x.mean(axis=(1, 3))
+        lo, hi = e.min(), e.max()
+        norm = (e - lo) / max(hi - lo, 1e-12)
+        th = 1.0
+        for t in np.arange(1, 11) / 10.0:
+            if (norm <= t).mean() >= target:
+                th = t
+                break
+        mask = (norm >= th).astype(np.float32)
+        # level-1 detail (finest HF) supervises the full-res stage, level-2
+        # the 1/scale stage, ... — same coarsest-last order as the Gaussian
+        # residual pyramid before the final reversal
+        gh, gw = H // scale ** (lev - 1), W // scale ** (lev - 1)
+        if cv2 is not None:
+            mask = cv2.resize(mask, (gw, gh), interpolation=cv2.INTER_NEAREST)
+        else:  # pragma: no cover - nearest resample without cv2
+            yi = (np.arange(gh) * mask.shape[0] // gh)
+            xi = (np.arange(gw) * mask.shape[1] // gw)
+            mask = mask[yi][:, xi]
+        masks.append(mask)
+    return masks[::-1]

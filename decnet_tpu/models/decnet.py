@@ -34,7 +34,8 @@ from decnet_tpu.nn.layers import (depth_to_space, s2d_to_rows, plane_to_s2d,
 from decnet_tpu.ops.cost_volume import build_cost_volume_uniform
 from decnet_tpu.ops.regression import uniform_disp_samples, disparity_regression
 from decnet_tpu.ops.matching import (sparse_matching_with_var,
-                                     sparse_matching_with_var_rows)
+                                     sparse_matching_with_var_rows,
+                                     candidate_availability)
 from decnet_tpu.ops.resize import interpolate
 from decnet_tpu.parallel import mesh as mesh_lib
 
@@ -75,8 +76,9 @@ class DecNet(nn.Module):
         right_all = extractor(right.astype(dtype), train=train)
 
         out: Dict[str, Any] = {k: [] for k in (
-            "preds", "dense", "sparse", "fusion", "soft_mask", "var",
-            "residual", "left_details", "right_details", "masks_used")}
+            "preds", "dense", "sparse", "sparse_raw", "fusion", "soft_mask",
+            "var", "residual", "left_details", "right_details", "masks_used",
+            "cand")}
         # feature pyramids exposed for the LR-consistency loss (reference
         # loss.py:398-424 reads left/right_feature_map_all); XLA dead-code
         # eliminates them for callers that don't use them
@@ -180,23 +182,55 @@ class DecNet(nn.Module):
             # with s2d, `dense` is the s2d plane (B,h,w,s^2)
             out["dense"].append(s2d_to_plane(dense, scale) if s2d else dense)
 
+            # Matching-score temperature (config.py ModelConfig.match_temp):
+            # scores are ref.tar dot products, so scaling the query features
+            # scales every score — the Pallas/XLA kernels stay byte-identical
+            # and the gradient reaches the (optional) learned log-temperature
+            # through the matching custom_vjp's dRef.
+            temp = None
+            if cfg.match_temp_learned:
+                import numpy as _np
+                logt = self.param(f"match_logt_{stage - 1}",
+                                  lambda key: jnp.asarray(
+                                      _np.log(cfg.match_temp), jnp.float32))
+                temp = jnp.exp(logt)
+            elif cfg.match_temp != 1.0:
+                temp = jnp.asarray(cfg.match_temp, jnp.float32)
+
+            # candidate availability: 1 where the band holds a right detail
+            # pixel — elsewhere the kernels emit the eps-sentinel 1.0
+            cand = candidate_availability(rmask, cur_max_disp)
+            out["cand"].append(cand)
+
             # one banded-softmax pass yields both the sparse disparity and its
             # variance (SpaMat + SpaVar fused; variance under stop_gradient
             # as in the reference's no_grad block)
             if s2d:
+                q = lf_rows if temp is None else \
+                    (lf_rows.astype(jnp.float32) * temp).astype(lf_rows.dtype)
                 sparse_full, var_full = sparse_matching_with_var_rows(
-                    lf_rows, rf_rows, lmask, rmask, cur_max_disp,
+                    q, rf_rows, lmask, rmask, cur_max_disp,
                     cfg.matching_impl)
                 var_full = jax.lax.stop_gradient(var_full)
                 sparse = plane_to_s2d(sparse_full, scale)
                 var = plane_to_s2d(var_full, scale)
+                out["sparse_raw"].append(sparse_full)
+                if cfg.cand_fallback:
+                    cand_s2d = plane_to_s2d(cand, scale)
+                    sparse = jnp.where(cand_s2d > 0, sparse, dense)
+                    sparse_full = s2d_to_plane(sparse, scale)
                 out["sparse"].append(sparse_full)
                 out["var"].append(var_full)
             else:
-                sparse, var = sparse_matching_with_var(lf, rf, lmask,
+                q = lf if temp is None else \
+                    (lf.astype(jnp.float32) * temp).astype(lf.dtype)
+                sparse, var = sparse_matching_with_var(q, rf, lmask,
                                                        rmask, cur_max_disp,
                                                        cfg.matching_impl)
                 var = jax.lax.stop_gradient(var)
+                out["sparse_raw"].append(sparse)
+                if cfg.cand_fallback:
+                    sparse = jnp.where(cand > 0, sparse, dense)
                 out["sparse"].append(sparse)
                 out["var"].append(var)
 

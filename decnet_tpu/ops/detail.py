@@ -94,6 +94,12 @@ def _haar_bands(gray: jax.Array) -> tuple:
     Haar filters stand in.  LL is the 2x2 mean (the per-level min-max
     normalisation makes the mask invariant to the LL gain convention)."""
     B, H, W = gray.shape
+    # odd dims get one edge-replicated row/col so the 2x2 analysis tiles the
+    # whole image (the x27-padded flagship shapes are odd at level 3:
+    # 540 -> 270 -> 135)
+    if H % 2 or W % 2:
+        gray = jnp.pad(gray, ((0, 0), (0, H % 2), (0, W % 2)), mode="edge")
+        B, H, W = gray.shape
     x = gray.reshape(B, H // 2, 2, W // 2, 2)
     e = None
     for f in _HAAR.values():

@@ -101,6 +101,27 @@ def matching_moments(ref, tar, ref_mask, tar_mask, max_disp: int):
     return m_fin, se * r, sed * r, sed2 * r
 
 
+def candidate_availability(tar_mask: jax.Array, max_disp: int) -> jax.Array:
+    """1.0 where the disparity band holds >= 1 valid right-view candidate.
+
+    For left pixel x the kernels scan d in [0, min(max_disp, x+1)), i.e.
+    right pixels x-d with tar_mask != 0 (SM_kernel.cu:90-99).  A masked-in
+    left pixel whose whole band is masked out contributes nothing and
+    outputs exactly 1.0 by the reference's eps semantics (SM_kernel.cu:45,
+    :100-124) — a sentinel, not a match.  This trailing-window max over
+    tar_mask computes exactly that availability bit, so losses/metrics can
+    separate real matches from the sentinel pixels.
+
+    tar_mask (B,H,W) any dtype; returns (B,H,W) float32 in {0,1}.
+    """
+    m = (tar_mask != 0).astype(jnp.float32)
+    return lax.reduce_window(
+        m, 0.0, lax.max,
+        window_dimensions=(1, 1, max_disp),
+        window_strides=(1, 1, 1),
+        padding=((0, 0), (0, 0), (max_disp - 1, 0)))
+
+
 # ---------------------------------------------------------------------------
 # sparse_matching — SpaMat
 # ---------------------------------------------------------------------------

@@ -76,9 +76,15 @@ def multi_stage_uploss(outputs: Dict, gt: jax.Array, cfg: LossConfig,
         sparse = outputs["sparse"][fine_idx]
         fusion = outputs["fusion"][fine_idx]
         lmask = outputs["masks_used"][fine_idx]
+        cand = outputs.get("cand")
+        cand = cand[fine_idx] if cand else None
         fine_idx += 1
 
         whole = valid & (lmask == 1)
+        if cand is not None and getattr(cfg, "sparse_cand_mask", False):
+            # exclude the no-candidate sentinel pixels (they carry zero
+            # gradient and only dilute the masked mean's denominator)
+            whole = whole & (cand > 0)
         dense_l = masked_mean(smooth_l1(dense * down, cur_gt * down), valid)
         sparse_l = masked_mean(smooth_l1(sparse * down, cur_gt * down), whole)
         fusion_l = masked_mean(smooth_l1(fusion * down, cur_gt * down), valid)

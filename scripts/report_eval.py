@@ -99,15 +99,33 @@ for bi in range(args.batches):
         if out.get(k):
             add(f"final_{k}", *epe_and_d1(out[k][-1], gt, args.max_disp))
     # sparse matching only fires at mask pixels (SpaMat outputs ~0
-    # elsewhere); its EPE and the fusion-vs-dense delta are measured there
+    # elsewhere); its EPE and the fusion-vs-dense delta are measured there.
+    # Split every mask metric by candidate availability: no-candidate pixels
+    # output the eps-sentinel 1.0 (SM_kernel.cu:45,:100-124), which is a
+    # bound of the data, not the matcher — the matcher is judged on _cand.
     if out.get("sparse") and out.get("masks_used"):
         m = out["masks_used"][-1] > 0
         valid = (gt > 0) & (gt < args.max_disp) & m
-        for k in ("dense", "sparse", "fusion"):
+        cand = out["cand"][-1] > 0 if out.get("cand") else None
+
+        def mm(err, v):
+            v = v.astype(jnp.float32)
+            return (err * v).sum() / jnp.maximum(v.sum(), 1.0)
+
+        keys = ["dense", "sparse", "fusion"]
+        if out.get("sparse_raw"):
+            keys.append("sparse_raw")
+        for k in keys:
             err = jnp.abs(out[k][-1].astype(jnp.float32) - gt)
+            add(f"mask_{k}", mm(err, valid), 0.0)
+            if cand is not None:
+                add(f"mask_{k}_cand", mm(err, valid & cand), 0.0)
+                add(f"mask_{k}_nocand", mm(err, valid & ~cand), 0.0)
+        if cand is not None:
             v = valid.astype(jnp.float32)
-            add(f"mask_{k}",
-                (err * v).sum() / jnp.maximum(v.sum(), 1.0), 0.0)
+            acc.setdefault("cand_avail_exact", []).append(
+                (float((cand.astype(jnp.float32) * v).sum()
+                       / jnp.maximum(v.sum(), 1.0)), 0.0))
         dens.append(float(out["masks_used"][-1].mean()))
         # candidate availability: fraction of left mask pixels whose true
         # match (+-1 px) is a right detail pixel — SpaMat skips tar_mask==0
