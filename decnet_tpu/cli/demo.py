@@ -31,6 +31,11 @@ def main(argv=None):
     p.add_argument("--save2where", type=str, required=True)
     p.add_argument("--mask_thold", type=float, default=0.3,
                    help="precomputed-mask threshold (demo.py:161)")
+    p.add_argument("--mask_source", type=str, default="compute",
+                   choices=("compute", "wavelet"),
+                   help="online detail-mask family: Gaussian-residual "
+                        "pyramid (utils.py:483-534) or wavelet "
+                        "(utils/Wavelet.py:66-123)")
     p.add_argument("--dump_intermediates", type=int, default=0,
                    help="save a per-scene grid of stage outputs (the "
                         "reference's is_check notebook workflow, "
@@ -84,12 +89,14 @@ def main(argv=None):
 
         lp = dio.pad_to_multiple(left.astype(np.float32) / 255.0, 27)
         rp = dio.pad_to_multiple(right.astype(np.float32) / 255.0, 27)
-        lmasks = dmasks.detail_masks_np(lp, cfg.model.down_scale,
-                                        cfg.model.num_stage - 1,
-                                        args.mask_thold)
-        rmasks = dmasks.detail_masks_np(rp, cfg.model.down_scale,
-                                        cfg.model.num_stage - 1,
-                                        args.mask_thold)
+        if args.mask_source == "wavelet":
+            mk = lambda im: dmasks.wavelet_detail_masks_np(
+                im, cfg.model.down_scale, cfg.model.num_stage - 1)
+        else:
+            mk = lambda im: dmasks.detail_masks_np(
+                im, cfg.model.down_scale, cfg.model.num_stage - 1,
+                args.mask_thold)
+        lmasks, rmasks = mk(lp), mk(rp)
         ln = dio.normalize_image(lp)[None]
         rn = dio.normalize_image(rp)[None]
 

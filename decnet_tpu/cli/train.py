@@ -59,6 +59,13 @@ def main(argv=None):
     if args.steps:
         cfg.train.total_steps = args.steps
 
+    # self-describing checkpoints: persist the full config next to the Orbax
+    # steps so eval/report tooling rebuilds the exact architecture (norm,
+    # s2d form, match_temp, ...) without re-specifying flags
+    if jax.process_index() == 0:
+        os.makedirs(cfg.train.ckpt_dir, exist_ok=True)
+        cfg.save(os.path.join(cfg.train.ckpt_dir, "config.json"))
+
     from decnet_tpu.data import get_dataset
     from decnet_tpu.data.loader import DataLoader
     from decnet_tpu.parallel.mesh import make_mesh, shard_batch, replicated

@@ -41,13 +41,22 @@ p.add_argument("--exec_s2d", action="store_true",
                     "repack (models/repack.py) — same numbers, s2d speed")
 args = p.parse_args()
 
-cfg = Config()
+sidecar = os.path.join(args.ckpt, "config.json")
+if os.path.exists(sidecar):
+    # self-describing checkpoint: architecture flags (norm, s2d form,
+    # match_temp, use_detail, ...) come from the training run itself
+    cfg = Config.load(sidecar)
+    print(f"model config from {sidecar}")
+    args.s2d = cfg.model.s2d_fine
+    args.use_detail = cfg.model.use_detail
+else:
+    cfg = Config()
+    cfg.model.use_detail = args.use_detail
+    cfg.model.thold = args.thold
+    cfg.model.s2d_fine = args.s2d
 cfg.model.max_disp = args.max_disp
-cfg.model.use_detail = args.use_detail
-cfg.model.thold = args.thold
 cfg.model.dtype = "bfloat16"
 cfg.model.matching_impl = "auto"
-cfg.model.s2d_fine = args.s2d
 cfg.train.crop_h, cfg.train.crop_w = args.h, args.w
 cfg.train.batch_size = args.batch
 
