@@ -135,6 +135,20 @@ for bi in range(args.batches):
             acc.setdefault("cand_avail_exact", []).append(
                 (float((cand.astype(jnp.float32) * v).sum()
                        / jnp.maximum(v.sum(), 1.0)), 0.0))
+        # fusion-gating diagnosis (VERDICT r3 weak #2): the oracle fusion
+        # picks per-pixel min(dense, sparse) error — the gap fusion..oracle
+        # is the headroom SoftAttention leaves on the table; the soft-mask
+        # split tells whether it actually trusts sparse where sparse wins
+        derr = jnp.abs(out["dense"][-1].astype(jnp.float32) - gt)
+        serr = jnp.abs(out["sparse"][-1].astype(jnp.float32) - gt)
+        add("mask_oracle", mm(jnp.minimum(derr, serr), valid), 0.0)
+        sm = out["soft_mask"][-1].astype(jnp.float32)
+        swin = valid & (serr < derr)
+        add("soft_mask_where_sparse_wins", mm(sm, swin), 0.0)
+        add("soft_mask_where_dense_wins", mm(sm, valid & ~(serr < derr)), 0.0)
+        acc.setdefault("sparse_win_frac", []).append(
+            (float(swin.astype(jnp.float32).sum()
+                   / jnp.maximum(valid.astype(jnp.float32).sum(), 1.0)), 0.0))
         dens.append(float(out["masks_used"][-1].mean()))
         # candidate availability: fraction of left mask pixels whose true
         # match (+-1 px) is a right detail pixel — SpaMat skips tar_mask==0
