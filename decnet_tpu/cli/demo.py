@@ -51,6 +51,16 @@ def main(argv=None):
     import jax.numpy as jnp
 
     cfg = build_config(args)
+    # runtime knobs stay with the CLI; architecture follows the checkpoint's
+    # config sidecar when present (self-describing checkpoints)
+    skip_stage = cfg.model.skip_stage_id
+    cli_max_disp = cfg.model.max_disp
+    sidecar = args.resume and os.path.join(args.resume, "config.json")
+    if sidecar and os.path.exists(sidecar):
+        from decnet_tpu.config import Config
+        cfg.model = Config.load(sidecar).model
+        cfg.model.max_disp = cli_max_disp
+        print(f"model config from {sidecar}")
     model, state, _ = init_model_and_state(cfg, args.resume,
                                            for_training=False)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
@@ -71,7 +81,8 @@ def main(argv=None):
         def fwd(variables, left, right, lm0, lm1, lm2, rm0, rm1, rm2):
             out = model.apply(variables, left, right,
                               [lm0, lm1, lm2], [rm0, rm1, rm2],
-                              train=False, max_disp=max_disp)
+                              train=False, max_disp=max_disp,
+                              skip_stage_id=skip_stage)
             if want_all:
                 return out
             return out["preds"][-1]

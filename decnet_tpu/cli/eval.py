@@ -47,6 +47,16 @@ def main(argv=None):
     from decnet_tpu.train.metrics import epe_and_d1
 
     cfg = build_config(args)
+    # runtime knobs stay with the CLI; architecture follows the checkpoint's
+    # config sidecar when present (self-describing checkpoints)
+    skip_stage = cfg.model.skip_stage_id
+    cli_max_disp = cfg.model.max_disp
+    _sidecar = args.resume and os.path.join(args.resume, "config.json")
+    if _sidecar and os.path.exists(_sidecar):
+        from decnet_tpu.config import Config
+        cfg.model = Config.load(_sidecar).model
+        cfg.model.max_disp = cli_max_disp
+        print(f"model config from {_sidecar}")
     model, state, _ = init_model_and_state(cfg, args.resume,
                                            for_training=False)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
@@ -68,7 +78,8 @@ def main(argv=None):
         @jax.jit
         def fwd(variables, left, right, lmasks, rmasks):
             out = model.apply(variables, left, right, lmasks, rmasks,
-                              train=False, max_disp=max_disp)
+                              train=False, max_disp=max_disp,
+                              skip_stage_id=skip_stage)
             return out["preds"][-1]
         return fwd
 

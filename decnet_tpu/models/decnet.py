@@ -53,19 +53,26 @@ class DecNet(nn.Module):
                  right_masks: Optional[Sequence[jax.Array]] = None,
                  *, train: bool = False,
                  max_disp: Optional[int] = None,
+                 skip_stage_id: Optional[int] = None,
                  ablate_sparse: bool = False) -> Dict[str, Any]:
         cfg = self.cfg
         dtype = jnp.dtype(cfg.dtype)
         max_disp = int(max_disp or cfg.max_disp)
+        # like max_disp, the huge-image escape hatch is a RUNTIME choice in
+        # the reference (CLI flag, SparseDenseNetRefinementMask.py:143-144);
+        # overriding per call keeps the param template identical so full
+        # checkpoints restore regardless of the eval-time skip
+        skip = cfg.skip_stage_id if skip_stage_id is None else int(skip_stage_id)
         ns, scale = cfg.num_stage, cfg.down_scale
         from decnet_tpu.nn import layers as layers_lib
         with layers_lib.norm_override(getattr(cfg, "norm", "bn")):
-            return self._forward(cfg, dtype, max_disp, ns, scale, left, right,
-                                 left_masks, right_masks, train=train,
-                                 ablate_sparse=ablate_sparse)
+            return self._forward(cfg, dtype, max_disp, skip, ns, scale,
+                                 left, right, left_masks, right_masks,
+                                 train=train, ablate_sparse=ablate_sparse)
 
-    def _forward(self, cfg, dtype, max_disp, ns, scale, left, right,
-                 left_masks, right_masks, *, train, ablate_sparse):
+    def _forward(self, cfg, dtype, max_disp, skip_stage_id, ns, scale,
+                 left, right, left_masks, right_masks, *, train,
+                 ablate_sparse):
 
         n_s2d = getattr(cfg, "s2d_stages", 1) if cfg.s2d_fine else 0
         extractor = FeatureExtractor(cfg.base_channels, ns, scale,
@@ -122,7 +129,7 @@ class DecNet(nn.Module):
                 out["preds"].append(pred)
                 continue
 
-            if stage >= cfg.skip_stage_id:
+            if stage >= skip_stage_id:
                 # plain bicubic upsampling escape hatch (Middlebury full-res,
                 # SparseDenseNetRefinementMask.py:143-144)
                 H, W = lf.shape[1], lf.shape[2]

@@ -287,3 +287,22 @@ def test_groupnorm_variant_no_train_eval_gap(rng):
                                np.asarray(out_eval["preds"][-1]),
                                rtol=1e-6, atol=1e-6)
     assert np.isfinite(np.asarray(out_eval["preds"][-1])).all()
+
+
+def test_skip_stage_call_override(rng):
+    """skip_stage_id is a runtime choice (reference CLI flag): a FULL param
+    set applies with any eval-time skip, so checkpoints restore regardless
+    of the huge-image escape hatch (round-4; demo.sh:5 semantics)."""
+    cfg = tiny_cfg()          # skip_stage_id=4 -> full param template
+    model = get_model("decnet", cfg)
+    left, right, lm, rm = make_batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), left, right, lm, rm)
+    out = model.apply(variables, left, right, lm, rm, skip_stage_id=2)
+    assert len(out["sparse"]) == 1          # only stage 1 ran its heads
+    assert out["preds"][-1].shape == (1, 54, 81)
+    # and the override matches a ctor-configured skip on the shared params
+    cfg2 = tiny_cfg(skip_stage_id=2)
+    model2 = get_model("decnet", cfg2)
+    out2 = model2.apply(variables, left, right, lm, rm)
+    np.testing.assert_array_equal(np.asarray(out["preds"][-1]),
+                                  np.asarray(out2["preds"][-1]))
