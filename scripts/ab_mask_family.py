@@ -54,7 +54,9 @@ else:
 assert not cfg.model.use_detail, \
     "mask-family A/B needs a use_detail=0 checkpoint (fed masks must be used)"
 cfg.model.max_disp = args.max_disp
-cfg.model.dtype = "bfloat16"
+# bf16 on TPU; f32 on CPU (emulated bf16 is several times slower there and
+# the A/B is a relative comparison)
+cfg.model.dtype = "bfloat16" if jax.default_backend() == "tpu" else "float32"
 model, state, _ = init_model_and_state(cfg, args.ckpt)
 variables = {"params": state.params, "batch_stats": state.batch_stats}
 print(f"checkpoint step {int(state.step)}")

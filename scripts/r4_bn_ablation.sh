@@ -12,8 +12,8 @@ COMMON=(--dataset synthetic --root ""
   --set model.match_temp_learned=true --set model.cand_fallback=true
   --set loss.sparse_term_scale=20
   --set train.crop_h=162 --set train.crop_w=243 --set train.batch_size=8
-  --set train.total_steps=6000 --set train.lr=1e-3
-  --eval_split val --eval_every 3000 --eval_batches 8)
+  --set train.total_steps=4000 --set train.lr=1e-3
+  --eval_split val --eval_every 2000 --eval_batches 8)
 
 run_arm () {
   local name="$1"; shift

@@ -21,7 +21,7 @@ if [ "$step" = detail_ft -o "$step" = all ]; then
     --set model.use_detail=true --set model.thold=0.9 --set model.s2d_fine=true \
     --set model.dtype=bfloat16 --set model.match_temp=3.0 \
     --set model.match_temp_learned=true --set model.cand_fallback=true \
-    --set loss.sparse_term_scale=20 --set loss.alpha=0.1 \
+    --set loss.sparse_term_scale=20 --set loss.alpha=0.3 \
     --set train.crop_h=162 --set train.crop_w=486 --set train.batch_size=8 \
     --set train.total_steps=4000 --set train.freeze_bn_after=3000 \
     --set train.lr=2e-4 --init_from /tmp/r4_s2d_v3 --ckpt_dir /tmp/r4_detail \
