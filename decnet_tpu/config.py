@@ -61,6 +61,16 @@ class ModelConfig:
     # exact reference semantics.
     match_temp: float = 1.0
     match_temp_learned: bool = False
+    # Prior-windowed sparse matching: restrict each fine stage's scan to
+    # |d - dense| <= match_window/down_size (full-res pixel units; the
+    # per-stage window floors at 2).  The reference scans the FULL band
+    # (SM_kernel.cu:86-88) — global correspondence with C<=8 descriptors,
+    # which is unidentifiable on repetitive texture; the decomposition
+    # already carries a coarse prior (the upsampled dense disparity), and
+    # windowing the sparse scan around it is the reference's own
+    # adaptive-sampling idea (submodule.py:398-411) applied to SpaMat.
+    # 0 = reference semantics (full band).
+    match_window: int = 0
     # Candidate fallback: left mask pixels whose entire disparity band is
     # masked out in the right view output the eps-sentinel 1.0
     # (SM_kernel.cu:45,:100-124) — garbage the attention fusion must learn

@@ -35,7 +35,10 @@ from decnet_tpu.ops.cost_volume import build_cost_volume_uniform
 from decnet_tpu.ops.regression import uniform_disp_samples, disparity_regression
 from decnet_tpu.ops.matching import (sparse_matching_with_var,
                                      sparse_matching_with_var_rows,
-                                     candidate_availability)
+                                     sparse_matching_with_var_windowed,
+                                     sparse_matching_with_var_rows_windowed,
+                                     candidate_availability,
+                                     candidate_availability_windowed)
 from decnet_tpu.ops.resize import interpolate
 from decnet_tpu.parallel import mesh as mesh_lib
 
@@ -204,9 +207,26 @@ class DecNet(nn.Module):
             elif cfg.match_temp != 1.0:
                 temp = jnp.asarray(cfg.match_temp, jnp.float32)
 
-            # candidate availability: 1 where the band holds a right detail
-            # pixel — elsewhere the kernels emit the eps-sentinel 1.0
-            cand = candidate_availability(rmask, cur_max_disp)
+            # prior-windowed matching (config.py match_window): the scan is
+            # restricted around the detached dense prediction; the window
+            # shrinks with the stage's disparity downscaling
+            win = 0
+            center = None
+            if cfg.match_window > 0:
+                down = scale ** (ns - 1 - stage)
+                win = max(2, round(cfg.match_window / down))
+                dense_plane = s2d_to_plane(dense, scale) if s2d else dense
+                center = jax.lax.stop_gradient(
+                    dense_plane.astype(jnp.float32))
+
+            # candidate availability: 1 where the (windowed) band holds a
+            # right detail pixel — elsewhere the kernels emit the
+            # eps-sentinel 1.0
+            if win > 0:
+                cand = candidate_availability_windowed(rmask, cur_max_disp,
+                                                       center, win)
+            else:
+                cand = candidate_availability(rmask, cur_max_disp)
             out["cand"].append(cand)
 
             # one banded-softmax pass yields both the sparse disparity and its
@@ -215,9 +235,15 @@ class DecNet(nn.Module):
             if s2d:
                 q = lf_rows if temp is None else \
                     (lf_rows.astype(jnp.float32) * temp).astype(lf_rows.dtype)
-                sparse_full, var_full = sparse_matching_with_var_rows(
-                    q, rf_rows, lmask, rmask, cur_max_disp,
-                    cfg.matching_impl)
+                if win > 0:
+                    sparse_full, var_full = \
+                        sparse_matching_with_var_rows_windowed(
+                            q, rf_rows, lmask, rmask, center, cur_max_disp,
+                            win, cfg.matching_impl)
+                else:
+                    sparse_full, var_full = sparse_matching_with_var_rows(
+                        q, rf_rows, lmask, rmask, cur_max_disp,
+                        cfg.matching_impl)
                 var_full = jax.lax.stop_gradient(var_full)
                 sparse = plane_to_s2d(sparse_full, scale)
                 var = plane_to_s2d(var_full, scale)
@@ -231,9 +257,14 @@ class DecNet(nn.Module):
             else:
                 q = lf if temp is None else \
                     (lf.astype(jnp.float32) * temp).astype(lf.dtype)
-                sparse, var = sparse_matching_with_var(q, rf, lmask,
-                                                       rmask, cur_max_disp,
-                                                       cfg.matching_impl)
+                if win > 0:
+                    sparse, var = sparse_matching_with_var_windowed(
+                        q, rf, lmask, rmask, center, cur_max_disp, win,
+                        cfg.matching_impl)
+                else:
+                    sparse, var = sparse_matching_with_var(
+                        q, rf, lmask, rmask, cur_max_disp,
+                        cfg.matching_impl)
                 var = jax.lax.stop_gradient(var)
                 out["sparse_raw"].append(sparse)
                 if cfg.cand_fallback:

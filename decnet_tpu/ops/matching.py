@@ -64,7 +64,8 @@ def _shift_left(x: jax.Array, d: jax.Array, max_disp: int) -> jax.Array:
     return lax.dynamic_slice(xp, start, list(x.shape))
 
 
-def matching_moments(ref, tar, ref_mask, tar_mask, max_disp: int):
+def matching_moments(ref, tar, ref_mask, tar_mask, max_disp: int,
+                     center=None, window: int = 0):
     """Online-softmax moments over the disparity band.
 
     Returns (m, se, sed, sed2), each (B,H,W) f32:
@@ -74,22 +75,32 @@ def matching_moments(ref, tar, ref_mask, tar_mask, max_disp: int):
       sed2 = sum_d exp(...) * d^2
     The EPS clamp on the max matches SM_kernel.cu:45; accumulator biases are
     added by the callers.
+
+    With `center` (B,H,W) and `window > 0`, candidates are additionally
+    gated to |d - center| <= window — prior-windowed matching around a
+    coarse disparity estimate (the adaptive-sampling idea of
+    submodule.py:398-411 applied to the sparse op; the reference always
+    scans the full band).
     """
     B, H, W, C = ref.shape
     ref = ref.astype(jnp.float32)
     tarp = _pad_tar(tar.astype(jnp.float32), max_disp)
     tmaskp = _pad_tar((tar_mask != 0).astype(jnp.float32), max_disp)
+    if window > 0:
+        center = center.astype(jnp.float32)
 
     def step(carry, d):
         m, se, sed, sed2 = carry
         tar_d = _shift_right(tarp, d, W, max_disp)
         ok = _shift_right(tmaskp, d, W, max_disp) > 0
+        d_f = d.astype(jnp.float32)
+        if window > 0:
+            ok = ok & (jnp.abs(d_f - center) <= window)
         s = jnp.sum(ref * tar_d, axis=-1)
         s = jnp.where(ok, s, _NEG)
         m_new = jnp.maximum(m, s)
         scale = jnp.exp(m - m_new)        # exp(-inf - finite) = 0: safe
         e = jnp.where(ok, jnp.exp(s - m_new), 0.0)
-        d_f = d.astype(jnp.float32)
         return (m_new, se * scale + e, sed * scale + e * d_f,
                 sed2 * scale + e * d_f * d_f), None
 
@@ -122,6 +133,31 @@ def candidate_availability(tar_mask: jax.Array, max_disp: int) -> jax.Array:
         padding=((0, 0), (0, 0), (max_disp - 1, 0)))
 
 
+def candidate_availability_windowed(tar_mask: jax.Array, max_disp: int,
+                                    center: jax.Array,
+                                    window: int) -> jax.Array:
+    """candidate_availability for the prior-windowed scan: 1.0 where some
+    d with |d - center| <= window AND 0 <= d < min(max_disp, x+1) has
+    tar_mask[x-d] != 0.  Exact (per-offset gather with per-pixel band
+    checks); cost is 2*window+1 gathers."""
+    m = (tar_mask != 0).astype(jnp.float32)
+    B, H, W = m.shape
+    xs = jnp.arange(W)[None, None, :]
+    cf = center.astype(jnp.float32)
+    c = jnp.round(center).astype(jnp.int32)
+    avail = jnp.zeros_like(m)
+    # the scan's gate is |d - center| <= window on the FLOAT center; cover
+    # the rounding slack with one extra offset on each side and re-check
+    for delta in range(-window - 1, window + 2):
+        d = c + delta
+        ok = ((d >= 0) & (d < max_disp) & (d <= xs)
+              & (jnp.abs(d.astype(jnp.float32) - cf) <= window))
+        src = jnp.clip(xs - d, 0, W - 1)
+        hit = jnp.take_along_axis(m, src, axis=2)
+        avail = jnp.maximum(avail, jnp.where(ok, hit, 0.0))
+    return avail
+
+
 # ---------------------------------------------------------------------------
 # sparse_matching — SpaMat
 # ---------------------------------------------------------------------------
@@ -136,7 +172,7 @@ def _spamat_fwd_xla(ref, tar, ref_mask, tar_mask, max_disp: int):
 
 
 def _spamat_bwd_xla(ref, tar, ref_mask, tar_mask, out, sum_sim, max_cost, g,
-                    max_disp: int):
+                    max_disp: int, center=None, window: int = 0):
     """Analytic grads, parity with SM_kernel.cu:143-195 (ref) / :300-355 (tar)."""
     B, H, W, C = ref.shape
     ref32 = ref.astype(jnp.float32)
@@ -145,14 +181,18 @@ def _spamat_bwd_xla(ref, tar, ref_mask, tar_mask, out, sum_sim, max_cost, g,
     refm = ref_mask != 0
     inv_ss = jnp.where(refm, 1.0 / jnp.where(refm, sum_sim, 1.0), 0.0)
     g_over_ss = g * inv_ss
+    if window > 0:
+        center = center.astype(jnp.float32)
 
     def step(carry, d):
         acc_ref, acc_tar = carry
         tar_d = _shift_right(tarp, d, W, max_disp)
         ok = _shift_right(tmaskp, d, W, max_disp) > 0
+        d_f = d.astype(jnp.float32)
+        if window > 0:
+            ok = ok & (jnp.abs(d_f - center) <= window)
         s = jnp.sum(ref32 * tar_d, axis=-1)
         e = jnp.where(ok & refm, jnp.exp(s - max_cost), 0.0)
-        d_f = d.astype(jnp.float32)
         wq = e * (d_f - out)                       # query-side weight
         acc_ref = acc_ref + (wq * g_over_ss)[..., None] * tar_d
         # scatter to key side: grad_tar[w] += (g*e*(d-out)/ss)[w+d] * ref[w+d]
@@ -457,3 +497,120 @@ def _fused_rows_vjp_bwd(max_disp, impl, res, gs):
 
 
 sparse_matching_with_var_rows.defvjp(_fused_rows_vjp_fwd, _fused_rows_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Prior-windowed fused matching — scan only |d - center| <= window
+# ---------------------------------------------------------------------------
+#
+# The reference scans the FULL band at every fine stage (SM_kernel.cu:86-88),
+# which makes the matcher solve global correspondence with C<=8 descriptors —
+# on repetitive texture the appearance-optimal candidate sits far from the
+# truth for a large fraction of detail pixels.  The decomposition already
+# provides a strong prior at every fine stage (the upsampled dense
+# disparity); windowing the sparse scan around it is the adaptive-sampling
+# idea the reference applies to its cost volumes (submodule.py:398-411) but
+# never to SpaMat.  Semantics: identical to the full-band op with candidates
+# outside the window treated as tar_mask==0 (incl. the eps/no-candidate
+# sentinel when the whole window is masked out).  center gets a zero
+# gradient (callers pass a stop_gradient'ed prior, as the reference detaches
+# cross-stage predictions, SparseDenseNetRefinementMask.py:172-175).
+
+def _windowed_moments(ref_rows, tar_rows, ref_mask, tar_mask, center,
+                      max_disp, window, impl):
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from decnet_tpu.ops.pallas import spamat as _k
+        return _k.moments_rows(ref_rows, tar_rows, ref_mask, tar_mask,
+                               max_disp, center=center, window=window)
+    return matching_moments(_rows_to_nhwc(ref_rows), _rows_to_nhwc(tar_rows),
+                            ref_mask, tar_mask, max_disp, center=center,
+                            window=window)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def sparse_matching_with_var_rows_windowed(ref_rows, tar_rows, ref_mask,
+                                           tar_mask, center, max_disp: int,
+                                           window: int, impl: str = "auto"):
+    """(expected disparity, variance) over the |d - center| <= window band.
+
+    ref/tar rows-form (B,H,C,W); center (B,H,W) in current-stage disparity
+    units.  window <= 0 falls back to the full-band op."""
+    (out, var), _ = _fused_win_vjp_fwd(ref_rows, tar_rows, ref_mask,
+                                       tar_mask, center, max_disp, window,
+                                       impl)
+    return out, var
+
+
+def _fused_win_vjp_fwd(ref_rows, tar_rows, ref_mask, tar_mask, center,
+                       max_disp, window, impl):
+    m, se, sed, sed2 = _windowed_moments(ref_rows, tar_rows, ref_mask,
+                                         tar_mask, center, max_disp, window,
+                                         impl)
+    refm = ref_mask != 0
+    out = jnp.where(refm, (EPS + sed) / (EPS + se), 0.0)
+    svar = sed2 - 2.0 * out * sed + out * out * se
+    var = jnp.where(refm, (EPS + svar) / (EPS + se), 0.0)
+    sum_sim = jnp.where(refm, EPS + se, 0.0)
+    max_cost = jnp.where(refm, m, 0.0)
+    return (out, var), (ref_rows, tar_rows, ref_mask, tar_mask, center, out,
+                        sum_sim, max_cost)
+
+
+def _fused_win_vjp_bwd(max_disp, window, impl, res, gs):
+    g_out, _ = gs  # variance is stop_gradient by contract
+    ref_rows, tar_rows, ref_mask, tar_mask, center, out, sum_sim, \
+        max_cost = res
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from decnet_tpu.ops.pallas import spamat as _k
+        gref, gtar = _k.spamat_backward_rows(
+            ref_rows, tar_rows, ref_mask, tar_mask, out, sum_sim, max_cost,
+            g_out, max_disp, center=center, window=window)
+    else:
+        gref, gtar = _spamat_bwd_xla(
+            _rows_to_nhwc(ref_rows), _rows_to_nhwc(tar_rows), ref_mask,
+            tar_mask, out, sum_sim, max_cost, g_out, max_disp,
+            center=center, window=window)
+        gref, gtar = gref.transpose(0, 1, 3, 2), gtar.transpose(0, 1, 3, 2)
+    return (gref, gtar, jnp.zeros_like(ref_mask), jnp.zeros_like(tar_mask),
+            jnp.zeros_like(center))
+
+
+sparse_matching_with_var_rows_windowed.defvjp(_fused_win_vjp_fwd,
+                                              _fused_win_vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def sparse_matching_with_var_windowed(ref, tar, ref_mask, tar_mask, center,
+                                      max_disp: int, window: int,
+                                      impl: str = "auto"):
+    """NHWC twin of sparse_matching_with_var_rows_windowed."""
+    (out, var), _ = _fused_win_nhwc_fwd(ref, tar, ref_mask, tar_mask, center,
+                                        max_disp, window, impl)
+    return out, var
+
+
+def _to_rows(x):
+    """(B,H,W,C) -> (B,H,C,W)."""
+    return x.transpose(0, 1, 3, 2)
+
+
+def _fused_win_nhwc_fwd(ref, tar, ref_mask, tar_mask, center, max_disp,
+                        window, impl):
+    (out, var), res = _fused_win_vjp_fwd(_to_rows(ref), _to_rows(tar),
+                                         ref_mask, tar_mask, center,
+                                         max_disp, window, impl)
+    return (out, var), res
+
+
+def _fused_win_nhwc_bwd(max_disp, window, impl, res, gs):
+    gref, gtar, gm1, gm2, gc = _fused_win_vjp_bwd(max_disp, window, impl,
+                                                  res, gs)
+    return _rows_to_nhwc(gref), _rows_to_nhwc(gtar), gm1, gm2, gc
+
+
+sparse_matching_with_var_windowed.defvjp(_fused_win_nhwc_fwd,
+                                         _fused_win_nhwc_bwd)

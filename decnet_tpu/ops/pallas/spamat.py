@@ -77,9 +77,15 @@ def _pad4(x, h_to, w_to, left=0):
 # Forward moments kernel
 # ---------------------------------------------------------------------------
 
-def _moments_kernel(ref_ref, rm_ref, tar_ref, tm_ref,
-                    m_ref, se_ref, sed_ref, sed2_ref,
-                    *, max_disp: int, tw: int):
+def _moments_kernel(ref_ref, rm_ref, tar_ref, tm_ref, *rest,
+                    max_disp: int, tw: int, window: int = 0):
+    # prior-windowed variant (window > 0): one extra per-query center block;
+    # candidates additionally gated to |d - center| <= window (see
+    # ops/matching.py "Prior-windowed fused matching")
+    if window > 0:
+        c_ref, m_ref, se_ref, sed_ref, sed2_ref = rest
+    else:
+        m_ref, se_ref, sed_ref, sed2_ref = rest
     # Sparsity: the reference CUDA kernel early-exits per masked-out query
     # (SM_kernel.cu:32-33); the TPU analog is per-PROGRAM — detail masks are
     # spatially clustered, so whole (rows x query-tile) blocks are empty and
@@ -105,6 +111,10 @@ def _moments_kernel(ref_ref, rm_ref, tar_ref, tm_ref,
         d = qi - kj + dp                        # disparity per (query, key)
         band = (d >= 0) & (d < max_disp)
         valid = band[None] & (km[:, None, :] > 0)
+        if window > 0:
+            c = c_ref[0]                        # (RB, TW) per-query centers
+            valid = valid & (jnp.abs(d.astype(jnp.float32)[None]
+                                     - c[:, :, None]) <= window)
 
         s2 = jnp.where(valid, s, _NEG)
         m = jnp.max(s2, axis=2)
@@ -132,13 +142,10 @@ def _moments_kernel(ref_ref, rm_ref, tar_ref, tm_ref,
         sed2_ref[...] = zero
 
 
-@functools.partial(jax.jit, static_argnames=("max_disp", "tw", "rb"))
-def moments_rows(ref, tar, ref_mask, tar_mask, max_disp: int,
-                 tw: int = DEF_TW, rb: int = DEF_RB):
-    """Banded online-softmax moments from rows-form features.
-
-    ref/tar (B,H,C,W) — the kernels' native layout (see layers.s2d_to_rows);
-    masks (B,H,W).  Returns (m, se, sed, sed2), each (B,H,W) f32."""
+@functools.partial(jax.jit, static_argnames=("max_disp", "tw", "rb",
+                                             "window"))
+def _moments_rows_impl(ref, tar, ref_mask, tar_mask, center, max_disp: int,
+                       tw: int, rb: int, window: int):
     B, H, C, W = ref.shape
     dp = max_disp - 1
     Hp = _ceil_to(max(H, rb), rb)
@@ -153,34 +160,57 @@ def moments_rows(ref, tar, ref_mask, tar_mask, max_disp: int,
     out_spec = pl.BlockSpec((1, rb, tw), lambda b, r, t: (b, r, t),
                             memory_space=pltpu.VMEM)
     shp = jax.ShapeDtypeStruct((B, Hp, Wp), jnp.float32)
+    in_specs = [
+        pl.BlockSpec((1, rb, C, tw), lambda b, r, t: (b, r, 0, t),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, rb, tw), lambda b, r, t: (b, r, t),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, rb, C, Wp + dp), lambda b, r, t: (b, r, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, rb, Wp + dp), lambda b, r, t: (b, r, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [refr, rmr, tarr, tmr]
+    if window > 0:
+        in_specs.append(out_spec)            # per-query center block
+        operands.append(_pad4(center.astype(jnp.float32), Hp, Wp))
     m, se, sed, sed2 = pl.pallas_call(
-        functools.partial(_moments_kernel, max_disp=max_disp, tw=tw),
+        functools.partial(_moments_kernel, max_disp=max_disp, tw=tw,
+                          window=window),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, rb, C, tw), lambda b, r, t: (b, r, 0, t),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rb, tw), lambda b, r, t: (b, r, t),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rb, C, Wp + dp), lambda b, r, t: (b, r, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rb, Wp + dp), lambda b, r, t: (b, r, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(out_spec,) * 4,
         out_shape=(shp,) * 4,
         interpret=_interpret(),
-    )(refr, rmr, tarr, tmr)
+    )(*operands)
 
     def unpack(x):
         return x[:, :H, :W]
     return unpack(m), unpack(se), unpack(sed), unpack(sed2)
 
 
+def moments_rows(ref, tar, ref_mask, tar_mask, max_disp: int,
+                 tw: int = DEF_TW, rb: int = DEF_RB, center=None,
+                 window: int = 0):
+    """Banded online-softmax moments from rows-form features.
+
+    ref/tar (B,H,C,W) — the kernels' native layout (see layers.s2d_to_rows);
+    masks (B,H,W).  Returns (m, se, sed, sed2), each (B,H,W) f32.
+    With center (B,H,W) + window > 0, candidates are gated to
+    |d - center| <= window (prior-windowed matching)."""
+    if window <= 0:
+        center = jnp.zeros((1, 1, 1), jnp.float32)  # unused placeholder
+        window = 0
+    return _moments_rows_impl(ref, tar, ref_mask, tar_mask, center,
+                              max_disp, tw, rb, window)
+
+
 def moments(ref, tar, ref_mask, tar_mask, max_disp: int,
-            tw: int = DEF_TW, rb: int = DEF_RB):
+            tw: int = DEF_TW, rb: int = DEF_RB, center=None,
+            window: int = 0):
     """NHWC wrapper over moments_rows (transposes features to rows-form)."""
     return moments_rows(ref.transpose(0, 1, 3, 2), tar.transpose(0, 1, 3, 2),
-                        ref_mask, tar_mask, max_disp, tw, rb)
+                        ref_mask, tar_mask, max_disp, tw, rb, center, window)
 
 
 def spamat_forward(ref, tar, ref_mask, tar_mask, max_disp: int):
@@ -207,9 +237,13 @@ def spavar_forward(ref, tar, ref_mask, tar_mask, disparity, max_disp: int):
 # ---------------------------------------------------------------------------
 
 def _dref_kernel(ref_ref, tar_ref, tm_ref, mc_ref, out_ref, w_ref,
-                 gref_ref, *, max_disp: int, tw: int):
+                 *rest, max_disp: int, tw: int, window: int = 0):
     """grad_ref[q] = (g/sum_sim)[q] * sum_k e(q,k) * (d - out[q]) * tar[k]
     (SM_kernel.cu:143-195). w_ref holds g/sum_sim pre-gated by ref_mask."""
+    if window > 0:
+        c_ref, gref_ref = rest
+    else:
+        (gref_ref,) = rest
     # Tile skip (cf. the forward kernel): w is g/sum_sim pre-gated by
     # ref_mask, so an all-zero w block contributes nothing.
     w = w_ref[0]
@@ -234,6 +268,9 @@ def _dref_kernel(ref_ref, tar_ref, tm_ref, mc_ref, out_ref, w_ref,
         # max_cost is 0, so exp(s) can overflow to inf and inf*0 -> NaN if
         # only multiplied out afterwards. where() discards the inf safely.
         valid = band[None] & (km[:, None, :] > 0) & (w[:, :, None] != 0)
+        if window > 0:
+            valid = valid & (jnp.abs(d.astype(jnp.float32)[None]
+                                     - c_ref[0][:, :, None]) <= window)
         e = jnp.where(valid, jnp.exp(s - mc_ref[0][:, :, None]), 0.0)
         wq = e * (d.astype(jnp.float32)[None] - out_ref[0][:, :, None])
         wq = wq * w[:, :, None]
@@ -248,10 +285,14 @@ def _dref_kernel(ref_ref, tar_ref, tm_ref, mc_ref, out_ref, w_ref,
 
 
 def _dtar_kernel(tar_ref, tm_ref, ref_ref, mc_ref, out_ref, w_ref,
-                 gtar_ref, *, max_disp: int, tw: int):
+                 *rest, max_disp: int, tw: int, window: int = 0):
     """grad_tar[k] = sum_q e(q,k)*(d-out[q])*(g/sum_sim)[q]*ref[q]
     over q in [k, k+max_disp) (SM_kernel.cu:300-355). Query-side arrays are
     right-padded by max_disp-1; w_ref is g/sum_sim gated by ref_mask."""
+    if window > 0:
+        c_ref, gtar_ref = rest
+    else:
+        (gtar_ref,) = rest
     t = pl.program_id(2)
     dp = max_disp - 1
     qw = tw + dp
@@ -280,6 +321,10 @@ def _dtar_kernel(tar_ref, tm_ref, ref_ref, mc_ref, out_ref, w_ref,
         # in-kernel (NaN would survive the caller's multiply-by-mask: inf*0).
         valid = band[None] & (wq[:, None, :] != 0) \
             & (tm[:, :, None] > 0)
+        if window > 0:
+            cq = c_ref[0, :, pl.ds(t * tw, qw)]   # (RB, QW) query centers
+            valid = valid & (jnp.abs(d.astype(jnp.float32)[None]
+                                     - cq[:, None, :]) <= window)
         e = jnp.where(valid, jnp.exp(s - mc[:, None, :]), 0.0)
         wk = e * (d.astype(jnp.float32)[None] - ot[:, None, :]) \
             * wq[:, None, :]
@@ -292,10 +337,12 @@ def _dtar_kernel(tar_ref, tm_ref, ref_ref, mc_ref, out_ref, w_ref,
         gtar_ref[...] = jnp.zeros(gtar_ref.shape, gtar_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("max_disp", "tw", "rb"))
+@functools.partial(jax.jit, static_argnames=("max_disp", "tw", "rb",
+                                             "window"))
 def _spamat_backward_rows_impl(ref, tar, ref_mask, tar_mask, out, sum_sim,
                                max_cost, g, max_disp: int,
-                               tw: int = DEF_TW, rb: int = DEF_RB):
+                               tw: int = DEF_TW, rb: int = DEF_RB,
+                               center=None, window: int = 0):
     """Backward from rows-form features (B,H,C,W); grads in rows-form."""
     B, H, C, W = ref.shape
     dp = max_disp - 1
@@ -324,15 +371,21 @@ def _spamat_backward_rows_impl(ref, tar, ref_mask, tar_mask, out, sum_sim,
     full_row = pl.BlockSpec((1, rb, Wp + dp), lambda b, r, t: (b, r, 0),
                             memory_space=pltpu.VMEM)
 
+    dref_specs = [feat_spec, full_feat, full_row, row_spec, row_spec,
+                  row_spec]
+    dref_ops = [refr, tarr_l, tmr_l, mcr, outr, wr]
+    if window > 0:
+        dref_specs.append(row_spec)
+        dref_ops.append(_pad4(center.astype(f32), Hp, Wp))
     gref = pl.pallas_call(
-        functools.partial(_dref_kernel, max_disp=max_disp, tw=tw),
+        functools.partial(_dref_kernel, max_disp=max_disp, tw=tw,
+                          window=window),
         grid=grid,
-        in_specs=[feat_spec, full_feat, full_row, row_spec, row_spec,
-                  row_spec],
+        in_specs=dref_specs,
         out_specs=feat_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hp, C, Wp), jnp.float32),
         interpret=_interpret(),
-    )(refr, tarr_l, tmr_l, mcr, outr, wr)
+    )(*dref_ops)
 
     # dTar: query-side arrays right-padded by dp
     refr_r = _pad4(_cast_feat(ref), Hp, Wp + dp)
@@ -341,16 +394,22 @@ def _spamat_backward_rows_impl(ref, tar, ref_mask, tar_mask, out, sum_sim,
     wr_r = _pad4(w_map.astype(f32), Hp, Wp + dp)
     tarr = _pad4(_cast_feat(tar), Hp, Wp)
 
+    dtar_specs = [feat_spec, row_spec, full_feat, full_row, full_row,
+                  full_row]
+    dtar_ops = [tarr, _pad4(tar_mask.astype(f32), Hp, Wp), refr_r, mcr_r,
+                outr_r, wr_r]
+    if window > 0:
+        dtar_specs.append(full_row)
+        dtar_ops.append(_pad4(center.astype(f32), Hp, Wp + dp))
     gtar = pl.pallas_call(
-        functools.partial(_dtar_kernel, max_disp=max_disp, tw=tw),
+        functools.partial(_dtar_kernel, max_disp=max_disp, tw=tw,
+                          window=window),
         grid=grid,
-        in_specs=[feat_spec, row_spec, full_feat, full_row, full_row,
-                  full_row],
+        in_specs=dtar_specs,
         out_specs=feat_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hp, C, Wp), jnp.float32),
         interpret=_interpret(),
-    )(tarr, _pad4(tar_mask.astype(f32), Hp, Wp), refr_r, mcr_r, outr_r,
-      wr_r)
+    )(*dtar_ops)
 
     def unpack(x):
         return x[:, :H, :, :W]
@@ -359,10 +418,14 @@ def _spamat_backward_rows_impl(ref, tar, ref_mask, tar_mask, out, sum_sim,
 
 
 def spamat_backward_rows(ref, tar, ref_mask, tar_mask, out, sum_sim,
-                         max_cost, g, max_disp: int):
+                         max_cost, g, max_disp: int, center=None,
+                         window: int = 0):
     """Rows-form backward: ref/tar and the returned grads are (B,H,C,W)."""
+    if window <= 0:
+        center, window = jnp.zeros((1, 1, 1), jnp.float32), 0
     return _spamat_backward_rows_impl(ref, tar, ref_mask, tar_mask, out,
-                                      sum_sim, max_cost, g, max_disp)
+                                      sum_sim, max_cost, g, max_disp,
+                                      center=center, window=window)
 
 
 def spamat_backward(ref, tar, ref_mask, tar_mask, out, sum_sim, max_cost, g,

@@ -55,7 +55,8 @@ else:
     cfg.model.thold = args.thold
     cfg.model.s2d_fine = args.s2d
 cfg.model.max_disp = args.max_disp
-cfg.model.dtype = "bfloat16"
+# bf16 on TPU; f32 on CPU (emulated bf16 is several times slower there)
+cfg.model.dtype = "bfloat16" if jax.default_backend() == "tpu" else "float32"
 cfg.model.matching_impl = "auto"
 cfg.train.crop_h, cfg.train.crop_w = args.h, args.w
 cfg.train.batch_size = args.batch
@@ -80,7 +81,8 @@ def fwd(batch, ablate_sparse=False):
 
 stream = device_batch_stream(args.seed, val=True, batch=args.batch,
                              h=args.h, w=args.w,
-                             max_disp=args.max_disp, dtype=jnp.bfloat16)
+                             max_disp=args.max_disp,
+                             dtype=jnp.dtype(cfg.model.dtype))
 
 acc = {}
 def add(k, epe, d1):
