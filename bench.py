@@ -95,9 +95,12 @@ def main():
         # thold=0.3). The matching kernels skip empty mask tiles, so benching
         # with realistic mask density (structured synthetic scenes, not
         # noise) is what makes the number honest.
+        # s2d_stages=2 per the round-4 on-chip A/B (runs/bench_repack_ab_r4:
+        # s2d1 102.4 / s2d2 110.1 / faithful2 110.2 pairs/s): the 1/3-res
+        # heads run packed at 1/9 with 9x channels
         cfg = ModelConfig(max_disp=216, base_channels=8, num_stage=4,
                           down_scale=3, cost_func="cor", use_detail=False,
-                          s2d_fine=mode != "faithful_nhwc",
+                          s2d_fine=mode != "faithful_nhwc", s2d_stages=2,
                           dtype="bfloat16" if on_tpu else "float32",
                           matching_impl="auto")
         model = get_model("decnet", cfg)
@@ -113,7 +116,8 @@ def main():
                                      jnp.zeros((1, ih, iw, 3)),
                                      init_masks, init_masks)
             if mode == "faithful":
-                variables = repack_faithful_to_s2d(variables, cfg_f)
+                variables = repack_faithful_to_s2d(variables, cfg_f,
+                                                   stages=2)
             else:
                 model = model_f
         else:
