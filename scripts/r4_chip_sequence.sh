@@ -10,7 +10,7 @@ step="${1:-all}"
 run() { echo "=== $*"; "$@"; }
 
 if [ "$step" = report_s2d -o "$step" = all ]; then
-  run timeout 3600 python scripts/report_eval.py --ckpt /tmp/r4_s2d_v3 \
+  run timeout 3600 python scripts/report_eval.py --ckpt /tmp/r4_s2d_win \
     --h 540 --w 972 --max_disp 216 --batch 4 --batches 24 \
     --json runs/report_s2d_r4.json
 fi
@@ -21,10 +21,11 @@ if [ "$step" = detail_ft -o "$step" = all ]; then
     --set model.use_detail=true --set model.thold=0.9 --set model.s2d_fine=true \
     --set model.dtype=bfloat16 --set model.match_temp=3.0 \
     --set model.match_temp_learned=true --set model.cand_fallback=true \
+    --set model.match_window=12 \
     --set loss.sparse_term_scale=20 --set loss.alpha=0.3 \
     --set train.crop_h=162 --set train.crop_w=486 --set train.batch_size=8 \
     --set train.total_steps=4000 --set train.freeze_bn_after=3000 \
-    --set train.lr=2e-4 --init_from /tmp/r4_s2d_v3 --ckpt_dir /tmp/r4_detail \
+    --set train.lr=2e-4 --init_from /tmp/r4_s2d_win --ckpt_dir /tmp/r4_detail \
     --eval_split val --eval_every 2000 --eval_batches 8 \
     > runs/train_detail_r4.log 2>&1
   run timeout 3600 python scripts/report_eval.py --ckpt /tmp/r4_detail \
@@ -74,7 +75,7 @@ if [ "$step" = demos -o "$step" = all ]; then
 fi
 
 if [ "$step" = mask_ab -o "$step" = all ]; then
-  run timeout 3600 python scripts/ab_mask_family.py --ckpt /tmp/r4_s2d_v3 \
+  run timeout 3600 python scripts/ab_mask_family.py --ckpt /tmp/r4_s2d_win \
     --h 540 --w 972 --max_disp 216 --batch 4 --batches 8 \
     --json runs/ab_mask_family_r4.json
 fi
