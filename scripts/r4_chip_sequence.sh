@@ -64,13 +64,13 @@ if [ "$step" = demos -o "$step" = all ]; then
   python scripts/make_mbury_scene.py --out /tmp/mbury_scene
   run timeout 3600 python -m decnet_tpu.cli.demo \
     --root /root/reference/InputData/Sceneflow --save2where runs/demo_r4/sceneflow \
-    --resume /tmp/r4_detail --set model.max_disp=216
+    --resume /tmp/r4_s2d_win --set model.max_disp=216
   run timeout 3600 python -m decnet_tpu.cli.demo \
     --root /root/reference/InputData/KITTI --save2where runs/demo_r4/kitti \
-    --resume /tmp/r4_detail --set model.max_disp=216
+    --resume /tmp/r4_s2d_win --set model.max_disp=216
   run timeout 3600 python -m decnet_tpu.cli.demo \
     --root /tmp/mbury_scene --save2where runs/demo_r4/middlebury \
-    --resume /tmp/r4_detail --set model.max_disp=216 \
+    --resume /tmp/r4_s2d_win --set model.max_disp=216 \
     --set model.skip_stage_id=3
 fi
 

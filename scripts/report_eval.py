@@ -49,6 +49,9 @@ if os.path.exists(sidecar):
     print(f"model config from {sidecar}")
     args.s2d = cfg.model.s2d_fine
     args.use_detail = cfg.model.use_detail
+    # thold stays a runtime knob (it binarises the learned heads at eval and
+    # does not change the parameter set)
+    cfg.model.thold = args.thold
 else:
     cfg = Config()
     cfg.model.use_detail = args.use_detail
