@@ -47,6 +47,44 @@ def build_config(args) -> Config:
     return cfg
 
 
+def apply_checkpoint_sidecar(cfg: Config, args) -> Config:
+    """Adopt the checkpoint's config.json architecture without discarding
+    explicit CLI intent (self-describing checkpoints).
+
+    The sidecar describes the architecture the checkpoint was trained with,
+    so it becomes the base model config — but any model flag the user passed
+    on the CLI (--thold, --use_detail, ...) and every `--set model.*`
+    override is re-applied on top, and max_disp stays the runtime value the
+    CLI resolved (per-scene ndisp / --max_disp are serving knobs, not
+    architecture).  Without this, a user passing --thold at eval silently got
+    the training-time value."""
+    sidecar = getattr(args, "resume", None) and \
+        os.path.join(args.resume, "config.json")
+    if not (sidecar and os.path.exists(sidecar)):
+        return cfg
+    runtime_max_disp = cfg.model.max_disp
+    cfg.model = Config.load(sidecar, lenient=True).model
+    cfg.model.max_disp = runtime_max_disp
+    reapplied = []
+    for name in ("arch", "base_channels", "num_stage", "down_scale",
+                 "cost_func", "skip_stage_id", "thold"):
+        v = getattr(args, name, None)
+        if v is not None:
+            setattr(cfg.model, name, v)
+            reapplied.append(name)
+    if getattr(args, "use_detail", None) is not None:
+        cfg.model.use_detail = bool(args.use_detail)
+        reapplied.append("use_detail")
+    model_ovs = [ov for ov in getattr(args, "overrides", [])
+                 if ov.startswith("model.")]
+    if model_ovs:
+        cfg = cfg.apply_overrides(model_ovs)
+        reapplied.extend(ov.split("=", 1)[0] for ov in model_ovs)
+    extra = f" (CLI keeps: {', '.join(reapplied)})" if reapplied else ""
+    print(f"model config from {sidecar}{extra}")
+    return cfg
+
+
 def init_model_and_state(cfg: Config, resume: Optional[str] = None,
                          for_training: bool = True):
     """Build model + (possibly restored) TrainState on tiny init shapes."""
@@ -74,7 +112,25 @@ def init_model_and_state(cfg: Config, resume: Optional[str] = None,
                                         dummy, dummy, masks, masks)
     state = create_train_state(model, variables, cfg.train)
     mgr = None
-    if resume:
+    npz = resume and (resume if resume.endswith(".npz")
+                      else os.path.join(resume, "params.npz"))
+    if npz and os.path.exists(npz):
+        # durable params+batch_stats snapshot (scripts/export_ckpt.py):
+        # no optimizer state, so only valid for inference / warm starts
+        from decnet_tpu.train.checkpoint import load_params
+        restored = load_params(npz, {"params": state.params,
+                                     "batch_stats": state.batch_stats})
+        step = 0
+        meta = os.path.join(os.path.dirname(npz), "meta.json")
+        if os.path.exists(meta):
+            import json
+            with open(meta) as f:
+                step = int(json.load(f).get("step", 0))
+        state = state.replace(params=restored["params"],
+                              batch_stats=restored["batch_stats"],
+                              step=step)
+        print(f"Restored params snapshot (step {step}) from {npz}")
+    elif resume:
         mgr = CheckpointManager(resume, keep=cfg.train.keep_ckpts)
         if mgr.latest_step() is not None:
             state = mgr.restore(state)

@@ -18,8 +18,8 @@ import time
 import numpy as np
 
 from decnet_tpu.utils.cache import enable_compilation_cache
-from decnet_tpu.cli.common import add_config_args, build_config, \
-    init_model_and_state
+from decnet_tpu.cli.common import add_config_args, apply_checkpoint_sidecar, \
+    build_config, init_model_and_state
 from decnet_tpu.data import io as dio
 from decnet_tpu.data import masks as dmasks
 
@@ -51,16 +51,10 @@ def main(argv=None):
     import jax.numpy as jnp
 
     cfg = build_config(args)
-    # runtime knobs stay with the CLI; architecture follows the checkpoint's
-    # config sidecar when present (self-describing checkpoints)
+    # architecture follows the checkpoint's config sidecar when present, but
+    # CLI-provided model flags win over it (cli/common.py)
+    cfg = apply_checkpoint_sidecar(cfg, args)
     skip_stage = cfg.model.skip_stage_id
-    cli_max_disp = cfg.model.max_disp
-    sidecar = args.resume and os.path.join(args.resume, "config.json")
-    if sidecar and os.path.exists(sidecar):
-        from decnet_tpu.config import Config
-        cfg.model = Config.load(sidecar).model
-        cfg.model.max_disp = cli_max_disp
-        print(f"model config from {sidecar}")
     model, state, _ = init_model_and_state(cfg, args.resume,
                                            for_training=False)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
@@ -101,13 +95,14 @@ def main(argv=None):
         lp = dio.pad_to_multiple(left.astype(np.float32) / 255.0, 27)
         rp = dio.pad_to_multiple(right.astype(np.float32) / 255.0, 27)
         if args.mask_source == "wavelet":
-            mk = lambda im: dmasks.wavelet_detail_masks_np(
-                im, cfg.model.down_scale, cfg.model.num_stage - 1)
+            # pair-consistent thresholds (data/masks.py::wavelet_pair_masks_np)
+            lmasks, rmasks = dmasks.wavelet_pair_masks_np(
+                lp, rp, cfg.model.down_scale, cfg.model.num_stage - 1)
         else:
             mk = lambda im: dmasks.detail_masks_np(
                 im, cfg.model.down_scale, cfg.model.num_stage - 1,
                 args.mask_thold)
-        lmasks, rmasks = mk(lp), mk(rp)
+            lmasks, rmasks = mk(lp), mk(rp)
         ln = dio.normalize_image(lp)[None]
         rn = dio.normalize_image(rp)[None]
 

@@ -16,8 +16,8 @@ import time
 import numpy as np
 
 from decnet_tpu.utils.cache import enable_compilation_cache
-from decnet_tpu.cli.common import add_config_args, build_config, \
-    init_model_and_state
+from decnet_tpu.cli.common import add_config_args, apply_checkpoint_sidecar, \
+    build_config, init_model_and_state
 from decnet_tpu.data import io as dio
 from decnet_tpu.data import get_dataset
 from decnet_tpu.data.loader import DataLoader
@@ -47,16 +47,10 @@ def main(argv=None):
     from decnet_tpu.train.metrics import epe_and_d1
 
     cfg = build_config(args)
-    # runtime knobs stay with the CLI; architecture follows the checkpoint's
-    # config sidecar when present (self-describing checkpoints)
+    # architecture follows the checkpoint's config sidecar when present, but
+    # CLI-provided model flags win over it (cli/common.py)
+    cfg = apply_checkpoint_sidecar(cfg, args)
     skip_stage = cfg.model.skip_stage_id
-    cli_max_disp = cfg.model.max_disp
-    _sidecar = args.resume and os.path.join(args.resume, "config.json")
-    if _sidecar and os.path.exists(_sidecar):
-        from decnet_tpu.config import Config
-        cfg.model = Config.load(_sidecar).model
-        cfg.model.max_disp = cli_max_disp
-        print(f"model config from {_sidecar}")
     model, state, _ = init_model_and_state(cfg, args.resume,
                                            for_training=False)
     variables = {"params": state.params, "batch_stats": state.batch_stats}

@@ -31,6 +31,17 @@ class ModelConfig:
     skip_stage_id: int = 4              # stages >= this use plain upsampling
     use_detail: bool = True             # learned detail masks
     thold: float = 0.9                  # detail binarisation threshold
+    # How the learned detail probabilities become binary masks.
+    # "fixed": detail > thold — the reference semantics
+    # (SparseDenseNetRefinementMask.py:163-170).  Brittle: the head's
+    # sigmoids can saturate to either side of any fixed threshold (r4: mask
+    # density 0.000 at thold 0.9 and ~1.0 at 0.5 on the SAME checkpoint).
+    # "quantile": per-image adaptive threshold keeping the top
+    # `detail_density` fraction of pixels — the reference's own
+    # adaptive-threshold idea (utils/Wavelet.py:96-106) applied to the
+    # learned heads; mask density is then calibrated by construction.
+    thold_mode: str = "fixed"           # fixed | quantile
+    detail_density: float = 0.25        # target mask density (quantile mode)
     # adaptive-sampling knobs (exposed by the reference CLI, eval.sh:1)
     step: Tuple[float, ...] = (-1, 1, 1, 1)
     samp_num: Tuple[int, ...] = (-1, 12, 10, 6)
@@ -48,7 +59,7 @@ class ModelConfig:
     s2d_fine: bool = False
     # How many trailing fine stages run in s2d form when s2d_fine is set.
     # 1 = full-res stage only (the round-2 variant); 2 additionally runs the
-    # 1/9-res stage's heads at 1/9 with 9x channels (soft-att hidden C=8 and
+    # 1/3-res stage's heads at 1/9 with 9x channels (soft-att hidden C=8 and
     # refine C=24/12 convs at 1/3 res are 5-16x lane-padded otherwise).
     s2d_stages: int = 1
     # Matching-score temperature: the kernels score candidates by a raw
@@ -166,6 +177,11 @@ class DataConfig:
     # host->device transfer and an infinite non-repeating stream. Only valid
     # with dataset="synthetic".
     on_device: bool = False
+    # Synthetic-scene recipe: "default" (smooth bg + boxes + thin bars) or
+    # "stressor" (adversarial thin structures over repetitive texture at
+    # large disparity offsets — the configuration where dense upsampling is
+    # structurally unable to recover the disparity; device_synth.py).
+    variant: str = "default"
 
 
 @dataclasses.dataclass
@@ -180,14 +196,21 @@ class Config:
         return dataclasses.asdict(self)
 
     @classmethod
-    def from_dict(cls, d: dict) -> "Config":
+    def from_dict(cls, d: dict, lenient: bool = False) -> "Config":
+        """Build from a nested dict.  Strict mode (user-authored configs)
+        raises on unknown keys; lenient mode (auto-loaded checkpoint config
+        sidecars, which may come from a newer code revision) warns and skips
+        them so older code degrades gracefully."""
         def build(tp, sub):
             fields = {f.name: f for f in dataclasses.fields(tp)}
             kwargs = {}
             for k, v in sub.items():
                 if k not in fields:
+                    if lenient:
+                        print(f"config: ignoring unknown key "
+                              f"{tp.__name__}.{k} (newer revision?)")
+                        continue
                     raise KeyError(f"unknown config key {tp.__name__}.{k}")
-                ft = fields[k].type
                 if isinstance(v, list):
                     v = tuple(v)
                 kwargs[k] = v
@@ -200,11 +223,11 @@ class Config:
                    data=build(DataConfig, d.get("data", {})))
 
     @classmethod
-    def load(cls, path: str) -> "Config":
+    def load(cls, path: str, lenient: bool = False) -> "Config":
         with open(path) as f:
             if path.endswith((".yaml", ".yml")) and yaml is not None:
-                return cls.from_dict(yaml.safe_load(f) or {})
-            return cls.from_dict(json.load(f))
+                return cls.from_dict(yaml.safe_load(f) or {}, lenient=lenient)
+            return cls.from_dict(json.load(f), lenient=lenient)
 
     def save(self, path: str):
         with open(path, "w") as f:

@@ -126,3 +126,46 @@ def test_adaptive_disp_samples_properties(rng):
     # range covers at least samp_num*step (padded) unless clamped at borders
     rng_width = s[:, -1] - s[:, 0]
     assert (rng_width >= 0).all()
+
+
+def test_sidecar_lenient_load_and_cli_precedence(tmp_path):
+    """Checkpoint config sidecars: unknown keys from newer revisions are
+    skipped (not KeyError), and explicit CLI flags / --set model.* overrides
+    win over the sidecar instead of being silently discarded (ADVICE r4)."""
+    import argparse
+    import json
+    from decnet_tpu.config import Config
+    from decnet_tpu.cli.common import add_config_args, build_config, \
+        apply_checkpoint_sidecar
+
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    side = Config()
+    side.model.thold = 0.5
+    side.model.match_window = 7
+    side.model.max_disp = 189
+    d = side.to_dict()
+    d["model"]["from_the_future"] = 42      # newer-revision key
+    with open(ckpt / "config.json", "w") as f:
+        json.dump(d, f)
+
+    # lenient load skips the unknown key; strict load raises
+    cfg = Config.load(str(ckpt / "config.json"), lenient=True)
+    assert cfg.model.match_window == 7
+    with pytest.raises(KeyError):
+        Config.load(str(ckpt / "config.json"))
+
+    p = argparse.ArgumentParser()
+    add_config_args(p)
+    args = p.parse_args(["--resume", str(ckpt), "--thold", "0.8",
+                         "--set", "model.match_window=3"])
+    cfg = build_config(args)
+    cfg = apply_checkpoint_sidecar(cfg, args)
+    assert cfg.model.thold == 0.8           # CLI flag wins over sidecar
+    assert cfg.model.match_window == 3      # --set model.* wins over sidecar
+    assert cfg.model.max_disp == 216        # runtime knob: CLI/default value
+
+    # no CLI intent: sidecar architecture is adopted wholesale
+    args2 = p.parse_args(["--resume", str(ckpt)])
+    cfg2 = apply_checkpoint_sidecar(build_config(args2), args2)
+    assert cfg2.model.thold == 0.5 and cfg2.model.match_window == 7
