@@ -114,7 +114,8 @@ def main(argv=None):
                       levels=cfg.model.num_stage - 1,
                       thold=cfg.data.mask_thold,
                       dtype=jnp.bfloat16 if cfg.model.dtype == "bfloat16"
-                      else jnp.float32)
+                      else jnp.float32,
+                      variant=cfg.data.variant)
         loader = device_batch_stream(cfg.train.seed, mesh=mesh,
                                      start_step=int(state.step), **gen_kw)
         eval_batches = None

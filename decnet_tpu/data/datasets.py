@@ -135,11 +135,10 @@ class StereoDataset:
             rmasks = [masks6[5], masks6[4], masks6[3]]
         elif self.mask_source == "wavelet":
             # the paper's wavelet-based detail detection (utils/Wavelet.py,
-            # shipped broken upstream) as a first-class mask family
-            lmasks = dmasks.wavelet_detail_masks_np(left / 255.0, self.scale,
-                                                    self.levels)
-            rmasks = dmasks.wavelet_detail_masks_np(right / 255.0, self.scale,
-                                                    self.levels)
+            # shipped broken upstream) as a first-class mask family; the
+            # threshold is shared across the pair for stereo consistency
+            lmasks, rmasks = dmasks.wavelet_pair_masks_np(
+                left / 255.0, right / 255.0, self.scale, self.levels)
         else:
             lmasks = dmasks.detail_masks_np(left / 255.0, self.scale,
                                             self.levels, self.mask_thold)

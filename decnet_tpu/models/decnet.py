@@ -43,6 +43,53 @@ from decnet_tpu.ops.resize import interpolate
 from decnet_tpu.parallel import mesh as mesh_lib
 
 
+def binarise_detail(detail: jax.Array, cfg: ModelConfig) -> jax.Array:
+    """Learned detail probabilities -> binary mask, under stop_gradient.
+
+    thold_mode="fixed" reproduces the reference (detail > thold,
+    SparseDenseNetRefinementMask.py:163-170).  thold_mode="quantile" keeps
+    each image's top `detail_density` fraction instead — the per-image
+    adaptive threshold of utils/Wavelet.py:96-106 applied to the learned
+    heads, so mask density is calibrated by construction no matter where the
+    head's sigmoids saturate.  Works on the (B,H,W) plane form and the
+    (B,h,w,s^2) s2d plane form alike (quantile over all non-batch dims)."""
+    if cfg.thold_mode == "quantile":
+        B = detail.shape[0]
+        flat = detail.reshape(B, -1).astype(jnp.float32)
+        th = jnp.quantile(flat, 1.0 - cfg.detail_density, axis=1)
+        th = th.reshape((B,) + (1,) * (detail.ndim - 1))
+        mask = detail.astype(jnp.float32) > th
+    else:
+        mask = detail > cfg.thold
+    return jax.lax.stop_gradient(mask.astype(jnp.float32))
+
+
+def binarise_detail_pair(l_detail: jax.Array, r_detail: jax.Array,
+                         cfg: ModelConfig):
+    """Binarise BOTH views' detail probabilities.  In quantile mode the
+    adaptive threshold is shared across the stereo pair (computed on the
+    pooled distribution): the sparse matcher skips right pixels with
+    tar_mask==0 (SM_kernel.cu:90-99), so per-view thresholds that keep
+    different structures collapse cross-view candidate availability — the
+    same failure the wavelet masks had with per-image thresholds
+    (data/masks.py::wavelet_pair_masks_np).  The heads share weights across
+    views, so their scores are directly comparable."""
+    if cfg.thold_mode != "quantile":
+        return binarise_detail(l_detail, cfg), binarise_detail(r_detail, cfg)
+    B = l_detail.shape[0]
+    flat = jnp.concatenate([l_detail.reshape(B, -1),
+                            r_detail.reshape(B, -1)],
+                           axis=1).astype(jnp.float32)
+    th = jnp.quantile(flat, 1.0 - cfg.detail_density, axis=1)
+
+    def cut(d):
+        t = th.reshape((B,) + (1,) * (d.ndim - 1))
+        return jax.lax.stop_gradient(
+            (d.astype(jnp.float32) > t).astype(jnp.float32))
+
+    return cut(l_detail), cut(r_detail)
+
+
 class DecNet(nn.Module):
     """`masks`: list of (left, right) detail masks per fine stage, coarsest
     first, each (B,h_s,w_s) in {0,1}; optional when use_detail=True.
@@ -153,10 +200,8 @@ class DecNet(nn.Module):
                 l_detail = jax.nn.sigmoid(l_logit)  # s2d plane when s2d
                 r_detail = jax.nn.sigmoid(r_logit)
                 if s2d:
-                    lmask_s2d = jax.lax.stop_gradient(
-                        (l_detail > cfg.thold).astype(jnp.float32))
-                    rmask_s2d = jax.lax.stop_gradient(
-                        (r_detail > cfg.thold).astype(jnp.float32))
+                    lmask_s2d, rmask_s2d = binarise_detail_pair(
+                        l_detail, r_detail, cfg)
                     # the matching kernel scans full-res rows
                     lmask = s2d_to_plane(lmask_s2d, scale)
                     rmask = s2d_to_plane(rmask_s2d, scale)
@@ -165,10 +210,8 @@ class DecNet(nn.Module):
                 else:
                     out["left_details"].append(l_detail)
                     out["right_details"].append(r_detail)
-                    lmask = jax.lax.stop_gradient(
-                        (l_detail > cfg.thold).astype(jnp.float32))
-                    rmask = jax.lax.stop_gradient(
-                        (r_detail > cfg.thold).astype(jnp.float32))
+                    lmask, rmask = binarise_detail_pair(l_detail, r_detail,
+                                                        cfg)
             else:
                 lmask = left_masks[stage - 1].astype(jnp.float32)
                 rmask = right_masks[stage - 1].astype(jnp.float32)

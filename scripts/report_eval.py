@@ -34,18 +34,30 @@ p.add_argument("--batch", type=int, default=8)
 p.add_argument("--s2d", action="store_true")
 p.add_argument("--use_detail", action="store_true")
 p.add_argument("--thold", type=float, default=0.9)
+p.add_argument("--thold_mode", type=str, default=None,
+               choices=["fixed", "quantile"],
+               help="detail binarisation: fixed thold (reference) or "
+                    "per-pair adaptive quantile keeping --detail_density")
+p.add_argument("--detail_density", type=float, default=None)
 p.add_argument("--json", type=str, default=None)
 p.add_argument("--seed", type=int, default=37)
 p.add_argument("--exec_s2d", action="store_true",
                help="evaluate faithful weights through the exact s2d "
                     "repack (models/repack.py) — same numbers, s2d speed")
+p.add_argument("--variant", type=str, default="default",
+               choices=["default", "stressor"],
+               help="synthetic stream recipe (stressor = adversarial "
+                    "thin structures, device_synth._stressor_scene)")
+p.add_argument("--ld_thresh", type=float, default=9.0,
+               help="lost-detail pixel set: |gt - up27(meanpool27(gt))| > "
+                    "this (px) — structures the coarse scale cannot see")
 args = p.parse_args()
 
 sidecar = os.path.join(args.ckpt, "config.json")
 if os.path.exists(sidecar):
     # self-describing checkpoint: architecture flags (norm, s2d form,
     # match_temp, use_detail, ...) come from the training run itself
-    cfg = Config.load(sidecar)
+    cfg = Config.load(sidecar, lenient=True)
     print(f"model config from {sidecar}")
     args.s2d = cfg.model.s2d_fine
     args.use_detail = cfg.model.use_detail
@@ -57,6 +69,12 @@ else:
     cfg.model.use_detail = args.use_detail
     cfg.model.thold = args.thold
     cfg.model.s2d_fine = args.s2d
+if args.thold_mode is not None:
+    # like thold, the binarisation mode is a runtime knob: it reinterprets
+    # the heads' probabilities without changing the parameter set
+    cfg.model.thold_mode = args.thold_mode
+if args.detail_density is not None:
+    cfg.model.detail_density = args.detail_density
 cfg.model.max_disp = args.max_disp
 # bf16 on TPU; f32 on CPU (emulated bf16 is several times slower there)
 cfg.model.dtype = "bfloat16" if jax.default_backend() == "tpu" else "float32"
@@ -85,7 +103,21 @@ def fwd(batch, ablate_sparse=False):
 stream = device_batch_stream(args.seed, val=True, batch=args.batch,
                              h=args.h, w=args.w,
                              max_disp=args.max_disp,
-                             dtype=jnp.dtype(cfg.model.dtype))
+                             dtype=jnp.dtype(cfg.model.dtype),
+                             variant=args.variant)
+
+
+def lost_detail_mask(gt, down=27):
+    """Pixels whose disparity the coarse scale cannot represent:
+    |gt - up(meanpool_down(gt))| > ld_thresh.  Mean-pooling is how a 1/27
+    feature stage sees the scene — thin structures vanish under it; these
+    are exactly the pixels the paper claims sparse matching recovers."""
+    B, H, W = gt.shape
+    g = np.asarray(gt, np.float32)
+    coarse = g[:, :H - H % down, :W - W % down] \
+        .reshape(B, H // down, down, W // down, down).mean(axis=(2, 4))
+    up = np.asarray(interpolate(jnp.asarray(coarse), H, W, "bicubic"))
+    return np.abs(g - up) > args.ld_thresh
 
 acc = {}
 def add(k, epe, d1):
@@ -123,8 +155,12 @@ for bi in range(args.batches):
         cand = out["cand"][-1] > 0 if out.get("cand") else None
 
         def mm(err, v):
+            # masked mean; NaN (-> null in the report) when the pixel set is
+            # empty — 0.0 would read as "perfect" (VERDICT r4 weak #5)
             v = v.astype(jnp.float32)
-            return (err * v).sum() / jnp.maximum(v.sum(), 1.0)
+            n = v.sum()
+            return jnp.where(n > 0, (err * v).sum() / jnp.maximum(n, 1.0),
+                             jnp.nan)
 
         keys = ["dense", "sparse", "fusion"]
         if out.get("sparse_raw"):
@@ -138,8 +174,9 @@ for bi in range(args.batches):
         if cand is not None:
             v = valid.astype(jnp.float32)
             acc.setdefault("cand_avail_exact", []).append(
-                (float((cand.astype(jnp.float32) * v).sum()
-                       / jnp.maximum(v.sum(), 1.0)), 0.0))
+                (float(jnp.where(v.sum() > 0,
+                                 (cand.astype(jnp.float32) * v).sum()
+                                 / jnp.maximum(v.sum(), 1.0), jnp.nan)), 0.0))
         # fusion-gating diagnosis (VERDICT r3 weak #2): the oracle fusion
         # picks per-pixel min(dense, sparse) error — the gap fusion..oracle
         # is the headroom SoftAttention leaves on the table; the soft-mask
@@ -175,11 +212,59 @@ for bi in range(args.batches):
                 acc.setdefault("cand_avail", []).append(
                     (float(hit[vmask].mean()), 0.0))
 
+    # lost-detail split (VERDICT r4 missing #2): pixels whose disparity a
+    # 1/27 stage cannot represent — the decomposition's motivating case.
+    # Dense upsampling only redistributes coarse values; here they are all
+    # wrong, so dense/sparse/fusion at these pixels measures whether the
+    # sparse branch recovers what the pyramid destroyed.
+    ld = jnp.asarray(lost_detail_mask(gt))
+    vld = (gt > 0) & (gt < args.max_disp) & ld
+
+    def ldm(err, v):
+        v = v.astype(jnp.float32)
+        n = v.sum()
+        return (float(jnp.where(n > 0, (err * v).sum()
+                                / jnp.maximum(n, 1.0), jnp.nan)), 0.0)
+
+    acc.setdefault("ld_frac", []).append(
+        (float(vld.astype(jnp.float32).mean()), 0.0))
+    acc.setdefault("ld_final", []).append(
+        ldm(jnp.abs(out["preds"][-1].astype(jnp.float32) - gt), vld))
+    acc.setdefault("ld_ablate", []).append(
+        ldm(jnp.abs(out_abl["preds"][-1].astype(jnp.float32) - gt), vld))
+    if out.get("sparse") and out.get("masks_used"):
+        mfin = out["masks_used"][-1] > 0
+        for k in ("dense", "sparse", "fusion"):
+            acc.setdefault(f"ld_{k}", []).append(
+                ldm(jnp.abs(out[k][-1].astype(jnp.float32) - gt), vld))
+        vldm = vld & mfin
+        acc.setdefault("ld_mask_frac_of_ld", []).append(
+            ldm(mfin.astype(jnp.float32), vld))
+        for k in ("dense", "sparse", "fusion"):
+            acc.setdefault(f"ld_mask_{k}", []).append(
+                ldm(jnp.abs(out[k][-1].astype(jnp.float32) - gt), vldm))
+        if out.get("cand"):
+            vldc = vldm & (out["cand"][-1] > 0)
+            acc.setdefault("ld_cand_frac_of_mask", []).append(
+                ldm((out["cand"][-1] > 0).astype(jnp.float32), vldm))
+            for k in ("dense", "sparse", "fusion"):
+                acc.setdefault(f"ld_cand_{k}", []).append(
+                    ldm(jnp.abs(out[k][-1].astype(jnp.float32) - gt), vldc))
+
 report = {"step": step, "s2d": args.s2d, "use_detail": args.use_detail,
           "batches": args.batches}
+if args.use_detail:
+    report["thold_mode"] = cfg.model.thold_mode
+    report["thold"] = cfg.model.thold
+    if cfg.model.thold_mode == "quantile":
+        report["detail_density_target"] = cfg.model.detail_density
 for k, vals in acc.items():
-    report[k + "_epe"] = round(float(np.mean([v[0] for v in vals])), 4)
-    report[k + "_d1"] = round(float(np.mean([v[1] for v in vals])), 3)
+    # batches whose pixel set was empty (NaN) don't contribute; if EVERY
+    # batch was empty the metric is null, not 0.0 (VERDICT r4 weak #5)
+    ev = [v[0] for v in vals if np.isfinite(v[0])]
+    dv = [v[1] for v in vals if np.isfinite(v[1])]
+    report[k + "_epe"] = round(float(np.mean(ev)), 4) if ev else None
+    report[k + "_d1"] = round(float(np.mean(dv)), 3) if dv else None
 if dens:
     report["mask_density"] = round(float(np.mean(dens)), 4)
 last = max(int(k[5]) for k in acc if k.startswith("stage"))
@@ -190,6 +275,7 @@ if "ablate_sparse_final_epe" in report:
     report["sparse_contribution_epe"] = round(
         report["ablate_sparse_final_epe"] - report[f"stage{last}_epe"], 4)
 report["shape"] = [args.h, args.w, args.max_disp]
+report["variant"] = args.variant
 print(json.dumps(report, indent=2))
 if args.json:
     with open(args.json, "w") as f:

@@ -306,3 +306,53 @@ def test_skip_stage_call_override(rng):
     out2 = model2.apply(variables, left, right, lm, rm)
     np.testing.assert_array_equal(np.asarray(out["preds"][-1]),
                                   np.asarray(out2["preds"][-1]))
+
+
+def test_binarise_detail_quantile_density():
+    """Quantile binarisation calibrates mask density by construction, no
+    matter where the head's sigmoids saturate (r4: density 0.000 @ 0.9,
+    ~1.0 @ 0.5 on the same checkpoint — the fixed-thold knife-edge)."""
+    from decnet_tpu.models.decnet import binarise_detail, binarise_detail_pair
+    rng = np.random.RandomState(0)
+    # emulate a saturated head: everything crammed into [0.93, 0.99]
+    det = (0.93 + 0.06 * rng.rand(2, 30, 45)).astype(np.float32)
+    cfg = tiny_cfg(thold_mode="quantile", detail_density=0.25)
+    m = np.asarray(binarise_detail(jnp.asarray(det), cfg))
+    assert m.shape == det.shape and set(np.unique(m)).issubset({0.0, 1.0})
+    assert abs(m.mean() - 0.25) < 0.02          # calibrated per image
+    # fixed thold on the same map: degenerate (all-1 at 0.5, all-0 at 0.995)
+    assert np.asarray(binarise_detail(
+        jnp.asarray(det), tiny_cfg(thold=0.5))).mean() == 1.0
+
+    # s2d plane form (B,h,w,s^2): quantile over all non-batch dims
+    det4 = (0.93 + 0.06 * rng.rand(2, 10, 15, 9)).astype(np.float32)
+    m4 = np.asarray(binarise_detail(jnp.asarray(det4), cfg))
+    assert abs(m4.mean() - 0.25) < 0.02
+
+    # pair mode shares one threshold: identical views -> identical masks,
+    # and a view with weaker responses keeps FEWER pixels (not re-normed)
+    ml, mr = binarise_detail_pair(jnp.asarray(det), jnp.asarray(det), cfg)
+    assert (np.asarray(ml) == np.asarray(mr)).all()
+    weaker = det - 0.03
+    ml2, mr2 = binarise_detail_pair(jnp.asarray(det), jnp.asarray(weaker), cfg)
+    assert np.asarray(mr2).mean() < np.asarray(ml2).mean()
+    tot = (np.asarray(ml2).mean() + np.asarray(mr2).mean()) / 2
+    assert abs(tot - 0.25) < 0.02               # pooled density calibrated
+
+
+def test_forward_use_detail_quantile(rng):
+    """Model forward in quantile mode: masks_used density tracks the target
+    at every fine stage, in both NHWC and s2d forms."""
+    for s2d in (False, True):
+        cfg = tiny_cfg(use_detail=True, thold_mode="quantile",
+                       detail_density=0.3, s2d_fine=s2d)
+        model = get_model("decnet", cfg)
+        left, right, _, _ = make_batch(rng)
+        variables = model.init(jax.random.PRNGKey(0), left, right)
+        out = model.apply(variables, left, right)
+        for m in out["masks_used"]:
+            a = np.asarray(m)
+            assert set(np.unique(a)).issubset({0.0, 1.0})
+            # pooled L+R density is exactly calibrated; each view is within
+            # a loose band (tiny random maps -> coarse quantiles)
+            assert 0.05 < a.mean() < 0.6, a.mean()

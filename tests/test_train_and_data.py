@@ -608,3 +608,90 @@ def test_host_and_device_synthetic_distributions_match(rng):
     h_m = np.asarray(detail_masks(jnp.asarray(h_img / 255.0), 3, 3, 0.3)[-1])
     d_m = np.asarray(dev["left_masks"][-1])
     assert abs(h_m.mean() - d_m.mean()) < 0.05
+
+
+def test_device_synth_stressor_variant(rng):
+    """Adversarial stressor stream (device_synth._stressor_scene): geometry
+    is exact, thin bars carry large disparity offsets that mean-pooling to
+    1/27 destroys (the lost-detail set is non-trivial), bars are detail-
+    masked in BOTH views with candidates available, and the background is
+    repetitive (strong periodic autocorrelation along x)."""
+    import jax
+    import jax.numpy as jnp
+    from decnet_tpu.data.device_synth import make_device_batch
+
+    b = make_device_batch(jax.random.PRNGKey(5), batch=2, h=162, w=243,
+                          max_disp=108, dtype=jnp.float32,
+                          variant="stressor")
+    gt = np.asarray(b["gt"])
+    assert np.isfinite(gt).all() and 0 < gt.min() and gt.max() <= 108.0
+
+    # geometry: left(x) matches right(x - gt) (same check as the default
+    # stream), and a wrong disparity is much worse
+    l, r = np.asarray(b["left"]), np.asarray(b["right"])
+    W = 243
+    src = np.arange(W)[None, None, :] - gt
+    x0 = np.clip(np.floor(src).astype(int), 0, W - 2)
+    fx = (src - x0)[..., None]
+    warped = (np.take_along_axis(r, x0[..., None], axis=2) * (1 - fx)
+              + np.take_along_axis(r, (x0 + 1)[..., None], axis=2) * fx)
+    err = np.abs(warped - l).mean(axis=-1)
+    valid = (src > 0) & (src < W - 1)
+    assert np.percentile(err[valid], 50) < 0.4 * l.std()
+
+    # the lost-detail set: mean-pool 27 + bicubic-up cannot represent the
+    # bars -> a few percent of pixels are wrong by > 9 px in the coarse view
+    from decnet_tpu.ops.resize import interpolate
+    H = 162
+    coarse = gt.reshape(2, H // 27, 27, W // 27, 27).mean(axis=(2, 4))
+    up = np.asarray(interpolate(jnp.asarray(coarse), H, W, "bicubic"))
+    ld = np.abs(gt - up) > 9.0
+    assert 0.005 < ld.mean() < 0.2, ld.mean()
+
+    # bars are masked details in both views and have candidates: at
+    # lost-detail masked pixels the true match (+-1) is a right mask pixel
+    lm = np.asarray(b["left_masks"][-1]) > 0
+    rm = np.asarray(b["right_masks"][-1]) > 0
+    # low density is the point: the masks select (mostly) the thin bars,
+    # the locally-smooth periodic background stays below threshold
+    assert 0.008 < lm.mean() < 0.6 and 0.008 < rm.mean() < 0.6
+    xs = np.arange(W)[None, None, :]
+    srci = np.clip(np.round(xs - gt).astype(int), 0, W - 1)
+    hit = np.zeros_like(lm)
+    for d in (-1, 0, 1):
+        hit |= np.take_along_axis(rm, np.clip(srci + d, 0, W - 1), axis=2)
+    sel = lm & ld & ((xs - gt) >= 0)
+    assert sel.any()
+    assert hit[sel].mean() > 0.5, hit[sel].mean()
+
+    # background repetitiveness: autocorrelation of background rows at the
+    # sinusoid period ~24 px is high (shift by 24 ~ shift by 0)
+    bg_rows = l[0, :, :, 0] * (np.asarray(up[0]) < 40)[:, :]  # mostly bg rows
+    row = l[0, np.argmin(ld[0].sum(axis=1))]        # row with fewest bars
+    g = row[:, 0] - row[:, 0].mean()
+    ac = np.correlate(g, g, "full")[len(g) - 1:]
+    assert ac[24] > 0.5 * ac[0], ac[24] / ac[0]
+
+
+def test_right_view_disparity_zbuffer(rng):
+    """_right_view_disparity: thin foreground surfaces appear in the right
+    view at x - d (the r3/r4 fixed-point renderer missed them entirely),
+    occlusion resolves to the nearest surface, and smooth background keeps
+    the sub-pixel fixed-point solution."""
+    import jax.numpy as jnp
+    from decnet_tpu.data.device_synth import _right_view_disparity
+
+    W = 64
+    disp = np.full((1, 2, W), 5.0, np.float32)
+    disp[0, :, 40:43] = 25.0            # 3-px bar at x=40..42, d=25
+    xs = np.broadcast_to(np.arange(W, dtype=np.float32)[None, None, :],
+                         disp.shape)
+    d_r = np.asarray(_right_view_disparity(jnp.asarray(disp),
+                                           jnp.asarray(xs), W))
+    # bar projects to u = 40-25 .. 42-25 = 15..17 and WINS over background
+    assert (d_r[0, :, 15:18] == 25.0).all(), d_r[0, 0, 13:20]
+    # background elsewhere keeps its value (incl. the disocclusion band
+    # right of the bar's projection, where background is what's visible)
+    assert np.allclose(d_r[0, :, :15], 5.0)
+    assert np.allclose(d_r[0, :, 18:35], 5.0)
+    assert np.allclose(d_r[0, :, 45:], 5.0)
