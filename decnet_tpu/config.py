@@ -82,6 +82,16 @@ class ModelConfig:
     # adaptive-sampling idea (submodule.py:398-411) applied to SpaMat.
     # 0 = reference semantics (full band).
     match_window: int = 0
+    # Execution strategy for the stage-0 3x3x3 cost-regulariser convs
+    # (~46% of model FLOPs): "xla3d" stock lowering, or "shift2d" — the 3D
+    # conv decomposed into kernel-depth 2D convs over S-shifted slices with
+    # S folded into batch (identical math and parameters; layers.py
+    # _conv3d_shift2d).  A/B-measured on chip (scripts/ab_stage0.py).
+    conv3d_impl: str = "xla3d"
+    # Head-input concats (soft-attention / refinement / dynamic-upsampling
+    # first convs) as PConv split-kernel tuples instead of materialised
+    # jnp.concatenate (identical parameters; layers.py maybe_concat).
+    split_concat: bool = False
     # Candidate fallback: left mask pixels whose entire disparity band is
     # masked out in the right view output the eps-sentinel 1.0
     # (SM_kernel.cu:45,:100-124) — garbage the attention fusion must learn

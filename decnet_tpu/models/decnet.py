@@ -29,6 +29,7 @@ from decnet_tpu.nn.feature import FeatureExtractor
 from decnet_tpu.nn.heads import (CostRegNet, DynamicUpsampling, SoftAttention,
                                  Refinement, DetailHead, SoftAttentionS2D,
                                  RefinementS2D, DetailHeadS2D)
+from decnet_tpu.nn import layers as layers_lib
 from decnet_tpu.nn.layers import (depth_to_space, s2d_to_rows, plane_to_s2d,
                                   s2d_to_plane)
 from decnet_tpu.ops.cost_volume import build_cost_volume_uniform
@@ -114,8 +115,9 @@ class DecNet(nn.Module):
         # checkpoints restore regardless of the eval-time skip
         skip = cfg.skip_stage_id if skip_stage_id is None else int(skip_stage_id)
         ns, scale = cfg.num_stage, cfg.down_scale
-        from decnet_tpu.nn import layers as layers_lib
-        with layers_lib.norm_override(getattr(cfg, "norm", "bn")):
+        with layers_lib.norm_override(getattr(cfg, "norm", "bn")), \
+                layers_lib.conv3d_impl(getattr(cfg, "conv3d_impl", "xla3d")), \
+                layers_lib.split_concat(getattr(cfg, "split_concat", False)):
             return self._forward(cfg, dtype, max_disp, skip, ns, scale,
                                  left, right, left_masks, right_masks,
                                  train=train, ablate_sparse=ablate_sparse)
@@ -329,12 +331,12 @@ class DecNet(nn.Module):
                     lf, [dense, sparse, lmask_s2d, -var], train=train)
                 out["soft_mask"].append(s2d_to_plane(soft, scale))
             else:
-                att_in = jnp.concatenate([
+                att_in = layers_lib.maybe_concat([
                     lf,
                     dense[..., None].astype(dtype),
                     sparse[..., None].astype(dtype),
                     lmask[..., None].astype(dtype),
-                    (-var)[..., None].astype(dtype)], axis=-1)
+                    (-var)[..., None].astype(dtype)])
                 soft = SoftAttention(cfg.base_channels, dtype=dtype,
                                      name=f"soft_att_{stage - 1}")(
                     att_in, train=train)

@@ -12,7 +12,8 @@ import flax.linen as nn
 from decnet_tpu.nn.layers import (ConvUnit, Conv3dUnit, DeconvUnit,
                                   he_fan_out, unfold_nonoverlap,
                                   unfold3x3_replicate, pixel_shuffle,
-                                  space_to_depth, depth_to_space, rows_to_s2d)
+                                  space_to_depth, depth_to_space, rows_to_s2d,
+                                  maybe_concat)
 from decnet_tpu.ops.warp import warp_by_disparity
 
 
@@ -60,7 +61,7 @@ class DynamicUpsampling(nn.Module):
         r2 = self.scale ** 2
         feats = fine_fea if self.pre_unfolded else \
             unfold_nonoverlap(fine_fea, self.scale)           # (B,H,W,C*r^2)
-        inp = jnp.concatenate([disp[..., None], feats], axis=-1)
+        inp = maybe_concat([disp[..., None], feats])
         w = ConvUnit(r2 * 9, 3, padding=1, dtype=self.dtype,
                      name="w0")(inp, train=train)
         w = ConvUnit(r2 * 9, 3, padding=1, dtype=self.dtype,
@@ -117,8 +118,8 @@ class Refinement(nn.Module):
             warped = warped.astype(left_fea.dtype)
         else:
             warped = warp_by_disparity(right_fea, disp).astype(left_fea.dtype)
-        x = jnp.concatenate(
-            [left_fea, warped, disp[..., None].astype(left_fea.dtype)], axis=-1)
+        x = maybe_concat(
+            [left_fea, warped, disp[..., None].astype(left_fea.dtype)])
         x = ConvUnit(f, 3, dilation=d1, padding=d1, dtype=self.dtype,
                      name="c0")(x, train=train)
         x = ConvUnit(f, 3, padding=1, dtype=self.dtype,
@@ -153,7 +154,7 @@ class SoftAttentionS2D(nn.Module):
         (see layers.plane_to_s2d).  Returns the (B,h,w,r*r) sigmoid mask."""
         r = self.scale
         planes = [p.astype(self.dtype) for p in planes_s2d]
-        x = jnp.concatenate([fea_s2d] + planes, axis=-1)
+        x = maybe_concat([fea_s2d] + planes)
         x = ConvUnit(self.hidden, 3, padding=1, dtype=self.dtype,
                      name="c0")(x, train=train)
         x = ConvUnit(self.hidden, 3, padding=1, dtype=self.dtype,
@@ -199,8 +200,8 @@ class RefinementS2D(nn.Module):
                 warp_by_disparity(right_rows.transpose(0, 1, 3, 2),
                                   disp_full), r)
         warped = warped.astype(left_s2d.dtype)
-        x = jnp.concatenate([left_s2d, warped,
-                             disp_s2d.astype(left_s2d.dtype)], axis=-1)
+        x = maybe_concat([left_s2d, warped,
+                          disp_s2d.astype(left_s2d.dtype)])
         feats = (h, h, h, h // 2, h // 2, h // 2, r * r)
         for i, (f, k, d) in enumerate(zip(feats, self.kernels,
                                           self.dilations)):

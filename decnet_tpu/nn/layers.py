@@ -40,6 +40,49 @@ def norm_override(norm: str):
         _NORM_OVERRIDE.reset(tok)
 
 
+# Execution strategy for 3x3x3 Conv3d (the stage-0 cost regulariser — the
+# single largest FLOPs block, ~46% of the model).  "xla3d" is the stock
+# lowering; "shift2d" decomposes the 3D conv into kernel-depth 2D convs over
+# S-shifted slices with S folded into batch (identical math and params; the
+# MXU sees plain well-shaped 2D convolutions).  Set per-model from
+# ModelConfig.conv3d_impl; A/B-measured on chip before changing the default.
+_CONV3D_IMPL = contextvars.ContextVar("decnet_conv3d_impl", default="xla3d")
+
+
+@contextlib.contextmanager
+def conv3d_impl(impl: str):
+    assert impl in ("xla3d", "shift2d"), impl
+    tok = _CONV3D_IMPL.set(impl)
+    try:
+        yield
+    finally:
+        _CONV3D_IMPL.reset(tok)
+
+
+# Whether head-input concatenations feed the first conv as a tuple (PConv
+# split-kernel execution — the concatenated tensor never hits HBM) or as a
+# materialised jnp.concatenate.  Params identical either way.  Set from
+# ModelConfig.split_concat.
+_SPLIT_CONCAT = contextvars.ContextVar("decnet_split_concat", default=False)
+
+
+@contextlib.contextmanager
+def split_concat(on: bool):
+    tok = _SPLIT_CONCAT.set(bool(on))
+    try:
+        yield
+    finally:
+        _SPLIT_CONCAT.reset(tok)
+
+
+def maybe_concat(parts):
+    """Channel concat for a head's first conv: a real concatenate, or the
+    tuple form PConv executes with a sliced kernel (see _SPLIT_CONCAT)."""
+    if _SPLIT_CONCAT.get():
+        return tuple(parts)
+    return jnp.concatenate(parts, axis=-1)
+
+
 def _make_norm(bn: bool, gn: bool, gn_group: int, dtype):
     """The norm layer a conv unit should apply, honouring the override."""
     if bn and _NORM_OVERRIDE.get() == "gn":
@@ -88,26 +131,70 @@ class PConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        kshape = tuple(self.kernel_size) + (x.shape[-1], self.features)
+        parts = tuple(x) if isinstance(x, (tuple, list)) else None
+        cin = sum(p.shape[-1] for p in parts) if parts else x.shape[-1]
+        kshape = tuple(self.kernel_size) + (cin, self.features)
         kernel = self.param("kernel", he_fan_out, kshape, jnp.float32)
         nsp = len(self.kernel_size)
         ld = tuple(self.lhs_dilation or (1,) * nsp)
         rd = tuple(self.kernel_dilation or (1,) * nsp)
-        x = x.astype(self.dtype)
         k = kernel.astype(self.dtype)
-        if spmd_conv.dk_fix_needed():
-            y = spmd_conv.conv_dk_fixed(x, k, tuple(self.strides),
-                                        tuple(self.padding), ld, rd)
-        else:
-            y = jax.lax.conv_general_dilated(
-                x, k, window_strides=self.strides, padding=self.padding,
+
+        def conv(xi, ki):
+            if spmd_conv.dk_fix_needed():
+                return spmd_conv.conv_dk_fixed(xi, ki, tuple(self.strides),
+                                               tuple(self.padding), ld, rd)
+            return jax.lax.conv_general_dilated(
+                xi, ki, window_strides=self.strides, padding=self.padding,
                 lhs_dilation=ld, rhs_dilation=rd,
                 dimension_numbers=spmd_conv._dn(nsp))
+
+        if parts is not None:
+            # split-kernel execution of conv(concat(parts)): the kernel is
+            # ONE parameter of the concatenated shape (checkpoints
+            # unchanged) sliced per input, partial convs summed — the
+            # concatenated activation tensor is never materialised in HBM
+            y = None
+            off = 0
+            for p_in in parts:
+                ci = p_in.shape[-1]
+                ksl = jax.lax.slice_in_dim(k, off, off + ci, axis=nsp)
+                off += ci
+                yd = conv(p_in.astype(self.dtype), ksl)
+                y = yd if y is None else y + yd
+        elif nsp == 3 and _CONV3D_IMPL.get() == "shift2d" \
+                and tuple(self.strides) == (1, 1, 1) \
+                and ld == (1, 1, 1) and rd == (1, 1, 1) \
+                and not spmd_conv.dk_fix_needed():
+            y = _conv3d_shift2d(x.astype(self.dtype), k,
+                                tuple(self.padding))
+        else:
+            y = conv(x.astype(self.dtype), k)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), jnp.float32)
             y = y + bias.astype(self.dtype)
         return y
+
+
+def _conv3d_shift2d(x, k, padding):
+    """3D conv (NDHWC, stride 1) as kernel-depth 2D convs over S-shifted
+    slices, S folded into batch.  Identical math to the stock Conv3D
+    lowering; the MXU instead sees `ks` plain (B*S, H, W, Cin)x(kh,kw,Cin,F)
+    convolutions — the layout the hardware is best at."""
+    (ps0, ps1), ph, pw = padding
+    B, S, H, W, C = x.shape
+    ks = k.shape[0]
+    xp = jnp.pad(x, ((0, 0), (ps0, ps1), (0, 0), (0, 0), (0, 0)))
+    s_out = xp.shape[1] - ks + 1
+    y = None
+    for ds in range(ks):
+        xs = jax.lax.slice_in_dim(xp, ds, ds + s_out, axis=1)
+        yd = jax.lax.conv_general_dilated(
+            xs.reshape(B * s_out, H, W, C), k[ds], (1, 1), (ph, pw),
+            dimension_numbers=spmd_conv._dn(2))
+        y = yd if y is None else y + yd
+    return y.reshape(B, s_out, H, W, k.shape[-1])
 
 
 class FoldedBatchNorm(nn.Module):

@@ -356,3 +356,42 @@ def test_forward_use_detail_quantile(rng):
             # pooled L+R density is exactly calibrated; each view is within
             # a loose band (tiny random maps -> coarse quantiles)
             assert 0.05 < a.mean() < 0.6, a.mean()
+
+
+def test_execution_modes_are_equivalent(rng):
+    """conv3d_impl=shift2d and split_concat=True are pure execution
+    strategies: same parameter tree, numerically equivalent outputs (f32)."""
+    left, right, lm, rm = make_batch(rng)
+    base = tiny_cfg()
+    model0 = get_model("decnet", base)
+    variables = model0.init(jax.random.PRNGKey(0), left, right, lm, rm)
+    ref = model0.apply(variables, left, right, lm, rm)["preds"]
+
+    for kw in ({"conv3d_impl": "shift2d"}, {"split_concat": True},
+               {"conv3d_impl": "shift2d", "split_concat": True}):
+        cfg = tiny_cfg(**kw)
+        model = get_model("decnet", cfg)
+        # identical parameter tree: init must produce the same structure
+        v2 = model.init(jax.random.PRNGKey(0), left, right, lm, rm)
+        assert jax.tree_util.tree_structure(v2) == \
+            jax.tree_util.tree_structure(variables)
+        out = model.apply(variables, left, right, lm, rm)["preds"]
+        for a, b in zip(ref, out):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-4)
+
+
+def test_execution_modes_equivalent_s2d(rng):
+    """Same equivalence through the s2d serving form (the bench path)."""
+    left, right, lm, rm = make_batch(rng)
+    base = tiny_cfg(s2d_fine=True, s2d_stages=2)
+    model0 = get_model("decnet", base)
+    variables = model0.init(jax.random.PRNGKey(0), left, right, lm, rm)
+    ref = model0.apply(variables, left, right, lm, rm)["preds"]
+    cfg = tiny_cfg(s2d_fine=True, s2d_stages=2, conv3d_impl="shift2d",
+                   split_concat=True)
+    model = get_model("decnet", cfg)
+    out = model.apply(variables, left, right, lm, rm)["preds"]
+    for a, b in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-4)
