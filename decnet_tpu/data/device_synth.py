@@ -279,7 +279,10 @@ def make_device_batch(key, *, batch: int, h: int, w: int, max_disp: int,
     f32 binary masks coarsest-first (resolutions H/scale^(levels-1)..H).
 
     variant="stressor" is the adversarial thin-structure stream (the paper's
-    motivating case, reference README.md:2): see `_stressor_scene`."""
+    motivating case, reference README.md:2): see `_stressor_scene`.
+    variant="legacy" keeps the r3/r4 fixed-point right-view renderer, which
+    never drew thin structures into the right view (_right_view_disparity's
+    docstring) — retained only to reproduce round-4 artifacts."""
     k_tex, k_bg, k_box, k_bar = jax.random.split(key, 4)
     wd = w + max_disp
 
@@ -305,28 +308,29 @@ def make_device_batch(key, *, batch: int, h: int, w: int, max_disp: int,
 
     # --- views: sample the shared procedural texture; left at x, right at
     # x + d_right (exact epipolar geometry, equal sharpness in both views).
-    # d_right solves the fixed point d_r(u) = d_l(u + d_r(u)) so that left
-    # pixel x truly matches right pixel x - d_l(x) (except where occluded):
-    # starting from d_r = d_l and resampling converges on piecewise-smooth
-    # fields; the non-converged bands are exactly the occlusions.
-    # The domain extends max_disp past the left frame so the right view is
-    # fully textured (see _TexFn).
+    # d_right comes from _right_view_disparity: fixed-point solution for the
+    # piecewise-smooth surfaces plus a scatter-max z-buffer splat so thin
+    # foreground structures actually appear in the right view ("legacy"
+    # skips the splat — the r3/r4 bug).  The domain extends max_disp past
+    # the left frame so the right view is fully textured (see _TexFn).
     tex = _TexFn(k_tex, batch, h, w, wd=wd)
     xs = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, None, :],
                           disp.shape)
 
-    def sample_w(f, x):
-        """Bilinear sample (B,h,w) field f along W at fractional x."""
-        xc = jnp.clip(x, 0.0, w - 1.0)
-        x0 = jnp.clip(jnp.floor(xc).astype(jnp.int32), 0, w - 2)
-        fx = xc - x0
-        f0 = jnp.take_along_axis(f, x0, axis=2)
-        f1 = jnp.take_along_axis(f, x0 + 1, axis=2)
-        return f0 * (1 - fx) + f1 * fx
+    if variant == "legacy":
+        def sample_w(f, x):
+            xc = jnp.clip(x, 0.0, w - 1.0)
+            x0 = jnp.clip(jnp.floor(xc).astype(jnp.int32), 0, w - 2)
+            fx = xc - x0
+            f0 = jnp.take_along_axis(f, x0, axis=2)
+            f1 = jnp.take_along_axis(f, x0 + 1, axis=2)
+            return f0 * (1 - fx) + f1 * fx
 
-    d_r = disp
-    for _ in range(4):
-        d_r = sample_w(disp, xs + d_r)
+        d_r = disp
+        for _ in range(4):
+            d_r = sample_w(disp, xs + d_r)
+    else:
+        d_r = _right_view_disparity(disp, xs, w)
 
     def view(x):
         """Composite scene function: texture at x + surface offset(x),
