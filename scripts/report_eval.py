@@ -45,9 +45,11 @@ p.add_argument("--exec_s2d", action="store_true",
                help="evaluate faithful weights through the exact s2d "
                     "repack (models/repack.py) — same numbers, s2d speed")
 p.add_argument("--variant", type=str, default="default",
-               choices=["default", "stressor"],
-               help="synthetic stream recipe (stressor = adversarial "
-                    "thin structures, device_synth._stressor_scene)")
+               choices=["default", "stressor", "legacy"],
+               help="synthetic stream recipe: default (z-buffer right "
+                    "view), stressor (adversarial thin structures), legacy "
+                    "(r3/r4 fixed-point renderer, for comparisons against "
+                    "round-4 artifacts)")
 p.add_argument("--ld_thresh", type=float, default=9.0,
                help="lost-detail pixel set: |gt - up27(meanpool27(gt))| > "
                     "this (px) — structures the coarse scale cannot see")
