@@ -86,8 +86,25 @@ def main(argv=None):
     # forward normalises with the fixed running stats (exactly as eval will)
     # while the weights keep training — one run, no separate fine-tune.
     freeze_after = getattr(cfg.train, "freeze_bn_after", 0)
-    freeze_step = (make_train_step(model, cfg, freeze_bn=True)
-                   if freeze_after > 0 else None)
+    if getattr(cfg.train, "packed_exec", False):
+        # training-mode repack: faithful-form params (reference-compatible
+        # checkpoints, per-channel BN running stats) executed through the
+        # packed s2d twin — valid exactly when BN is frozen, so this
+        # replaces the freeze phase's step.  repack.py::repack_linear.
+        assert not cfg.model.s2d_fine, "packed_exec is for faithful form"
+        from decnet_tpu.models.repack import repack_linear
+        model_s, rl = repack_linear(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            cfg.model, stages=2)
+        freeze_step = make_train_step(model_s, cfg, freeze_bn=True,
+                                      apply_transform=rl)
+        assert freeze_after > 0 or cfg.train.freeze_bn, \
+            "packed_exec needs a freeze_bn phase to apply to"
+        if cfg.train.freeze_bn:
+            train_step = freeze_step
+    else:
+        freeze_step = (make_train_step(model, cfg, freeze_bn=True)
+                       if freeze_after > 0 else None)
 
     # cfg.train.batch_size is the GLOBAL batch; each process loads only its
     # share and shard_batch assembles the global array from the local rows

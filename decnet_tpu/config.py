@@ -158,6 +158,11 @@ class TrainConfig:
     # running-stat gap without a separate fine-tune ritual (docs/training.md
     # "BN-freeze fine-tune").  0 disables.
     freeze_bn_after: int = 0
+    # Training-mode repack (models/repack.py::repack_linear): faithful-form
+    # parameters executed through the packed s2d twin during freeze_bn
+    # phases — the faithful NHWC training tax disappears while optimizer
+    # state and checkpoints stay reference-compatible.
+    packed_exec: bool = False
     # Host-RSS guard: when process RSS exceeds this, save a checkpoint and
     # exit(75) so a supervisor can restart-and-resume.  Works around the
     # remote-TPU client leaking host memory per host->device transfer

@@ -359,3 +359,55 @@ def s2d_exec(variables, cfg_model, stages: int = 1):
         return get_model(cfg_model.arch, cfg_s), rp.result()
     return (get_model(cfg_model.arch, cfg_s),
             repack_faithful_to_s2d(variables, cfg_model, stages))
+
+
+def repack_linear(variables, cfg_model, stages: int = 1):
+    """jax-DIFFERENTIABLE twin of :func:`repack_faithful_to_s2d`.
+
+    Every repack transform is a pure copy/tile/permutation of faithful
+    weight entries (no arithmetic), i.e. the whole tree transform is one
+    gather from the flattened faithful leaves.  Running the numpy repacker
+    ONCE on unique-index arrays yields that gather map; the returned
+    function applies it with jnp ops, so `jax.grad` flows through it
+    exactly (the VJP of a gather is a scatter-add back onto the faithful
+    parameters).
+
+    This is what makes **training-mode repack** possible for configurations
+    without live batch statistics (freeze_bn fine-tunes): train faithful
+    -form parameters while executing the packed s2d graph — the faithful
+    NHWC training tax disappears, and the optimizer state/checkpoint stay
+    in the reference-compatible layout.  (Batch-stat training remains out
+    of scope: a packed BN would collect per-phase statistics,
+    repack.py:26-29.)
+
+    Returns (s2d_model, apply_fn) where apply_fn(variables) -> s2d
+    variables, differentiable.
+    """
+    import jax
+    import jax.numpy as jnp
+    from decnet_tpu.config import ModelConfig
+    from decnet_tpu.models import get_model
+
+    leaves, treedef = jax.tree_util.tree_flatten(variables)
+    idx_leaves, off = [], 1          # 0 = structural zero
+    for leaf in leaves:
+        n = int(np.prod(np.shape(leaf))) or 1
+        idx_leaves.append(np.arange(off, off + n,
+                                    dtype=np.int64).reshape(np.shape(leaf)))
+        off += n
+    idx_tree = jax.tree_util.tree_unflatten(treedef, idx_leaves)
+    out_idx = repack_faithful_to_s2d(idx_tree, cfg_model, stages=stages)
+    out_leaves, out_def = jax.tree_util.tree_flatten(out_idx)
+    out_leaves = [np.asarray(i) for i in out_leaves]
+
+    def apply_fn(variables):
+        flat = jnp.concatenate(
+            [jnp.zeros((1,), jnp.float32)]
+            + [jnp.ravel(l).astype(jnp.float32)
+               for l in jax.tree_util.tree_leaves(variables)])
+        return jax.tree_util.tree_unflatten(
+            out_def, [flat[jnp.asarray(i)] for i in out_leaves])
+
+    cfg_s = ModelConfig(**{**cfg_model.__dict__, "s2d_fine": True,
+                           "s2d_stages": stages})
+    return get_model(cfg_model.arch, cfg_s), apply_fn

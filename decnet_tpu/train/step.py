@@ -24,10 +24,20 @@ from decnet_tpu.train.state import TrainState
 
 
 def make_train_step(model, cfg: Config, donate: bool = True,
-                    freeze_bn: Optional[bool] = None):
+                    freeze_bn: Optional[bool] = None,
+                    apply_transform=None):
+    """`apply_transform`: optional DIFFERENTIABLE variables->variables map
+    applied before model.apply — training-mode repack
+    (models/repack.py::repack_linear): `model` is then the packed s2d twin
+    while params/optimizer state/checkpoints stay in the faithful
+    reference-compatible layout.  Only valid with freeze_bn (a packed BN
+    would collect per-phase batch statistics)."""
     mcfg, lcfg = cfg.model, cfg.loss
     if freeze_bn is None:
         freeze_bn = getattr(cfg.train, "freeze_bn", False)
+    if apply_transform is not None:
+        assert freeze_bn, "training-mode repack requires freeze_bn " \
+                          "(packed BN batch statistics are per-phase)"
     loss_type = lcfg.loss_type.lower()
     known = ("multi_stage_regression_uploss", "chamfer", "lr_consistency",
              "multi_stage_regression_upsampleloss",
@@ -69,6 +79,8 @@ def make_train_step(model, cfg: Config, donate: bool = True,
 
     def loss_fn(params, batch_stats, batch):
         variables = {"params": params, "batch_stats": batch_stats}
+        if apply_transform is not None:
+            variables = apply_transform(variables)
         if freeze_bn:
             # BN-freeze fine-tune: normalise with the (fixed) running
             # statistics exactly as eval will, so the weights adapt to them.

@@ -183,3 +183,66 @@ def test_s2d_checkpoint_stage2_upgrade():
     for a, b in zip(o1["preds"], o2["preds"]):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_repack_linear_matches_and_differentiates(rng):
+    """repack_linear: the differentiable repack reproduces
+    repack_faithful_to_s2d exactly, the packed forward matches the faithful
+    forward, and gradients w.r.t. the FAITHFUL parameters taken through the
+    packed graph match the faithful graph's gradients (training-mode
+    repack for freeze_bn configurations — layout is not semantics, even
+    for training)."""
+    import jax
+    import jax.numpy as jnp
+    from decnet_tpu.config import ModelConfig
+    from decnet_tpu.models import get_model
+    from decnet_tpu.models.repack import (repack_faithful_to_s2d,
+                                          repack_linear)
+
+    cfg = ModelConfig(max_disp=27, base_channels=4, num_stage=4,
+                      down_scale=3, use_detail=False, dtype="float32",
+                      matching_impl="xla")
+    model_f = get_model("decnet", cfg)
+    B, H, W = 1, 54, 81
+    left = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+    right = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+    masks = [jnp.asarray((rng.rand(B, H // s, W // s) < 0.4)
+                         .astype(np.float32)) for s in (9, 3, 1)]
+    gt = jnp.asarray((rng.rand(B, H, W) * 20).astype(np.float32))
+    variables = model_f.init(jax.random.PRNGKey(0), left, right, masks,
+                             masks)
+
+    model_s, apply_fn = repack_linear(variables, cfg, stages=2)
+    # the gather-map reproduction is exact
+    ref = repack_faithful_to_s2d(variables, cfg, stages=2)
+    got = apply_fn(variables)
+    for a, b in zip(jax.tree_util.tree_leaves(ref),
+                    jax.tree_util.tree_leaves(got)):
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(b))
+
+    def loss_through(model, vs):
+        out = model.apply(vs, left, right, masks, masks, train=False)
+        return sum(jnp.abs(p - gt[:, ::gt.shape[1] // p.shape[1],
+                                  ::gt.shape[2] // p.shape[2]]
+                           / (gt.shape[1] // p.shape[1])).mean()
+                   for p in out["preds"])
+
+    def loss_faithful(params):
+        return loss_through(model_f, {"params": params,
+                                      "batch_stats":
+                                      variables["batch_stats"]})
+
+    def loss_packed(params):
+        return loss_through(model_s, apply_fn(
+            {"params": params, "batch_stats": variables["batch_stats"]}))
+
+    lf, gf = jax.value_and_grad(loss_faithful)(variables["params"])
+    lp, gp = jax.value_and_grad(loss_packed)(variables["params"])
+    np.testing.assert_allclose(float(lf), float(lp), rtol=1e-5)
+    flat_f = jax.tree_util.tree_leaves(gf)
+    flat_p = jax.tree_util.tree_leaves(gp)
+    assert len(flat_f) == len(flat_p)
+    for a, b in zip(flat_f, flat_p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
