@@ -125,6 +125,27 @@ if [ "$step" = bn12k ]; then
   done
 fi
 
+
+# training-mode repack throughput: faithful-form freeze_bn training, NHWC
+# vs packed execution (train.packed_exec) — the last faithful training tax
+if [ "$step" = packed_ab ]; then
+  for mode in nhwc packed; do
+    pe=false; [ "$mode" = packed ] && pe=true
+    run timeout 2400 python -m decnet_tpu.cli.train --dataset synthetic --root "" \
+      --set data.on_device=true --set model.max_disp=216 \
+      --set model.use_detail=false --set model.s2d_fine=false \
+      --set model.dtype=bfloat16 --set model.match_temp=3.0 \
+      --set model.match_temp_learned=true --set model.cand_fallback=true \
+      --set loss.sparse_term_scale=20 \
+      --set train.crop_h=162 --set train.crop_w=486 --set train.batch_size=8 \
+      --set train.total_steps=150 --set train.log_every=25 \
+      --set train.freeze_bn=true --set train.packed_exec=$pe \
+      --init_from /tmp/r4_faithful --ckpt_dir /tmp/r5_packed_$mode \
+      > runs/train_packed_ab_$mode.log 2>&1
+    tail -2 runs/train_packed_ab_$mode.log
+  done
+fi
+
 # canonical full-round order (centerpiece first): invoke as `ordered`
 if [ "$step" = ordered ]; then
   for s in detail_q detail_ft stressor exec_ab bench kernels mask_ab demos_real; do
