@@ -152,3 +152,11 @@ if [ "$step" = ordered ]; then
     bash "$0" "$s"
   done
 fi
+
+# resume order after the 06:24 tunnel hang: detail_ft auto-resumes from its
+# Orbax checkpoint (step 4000), then the rest of the round
+if [ "$step" = ordered2 ]; then
+  for s in detail_ft stressor exec_ab bench kernels mask_ab demos_real packed_ab; do
+    bash "$0" "$s"
+  done
+fi
