@@ -102,7 +102,12 @@ def main():
                           down_scale=3, cost_func="cor", use_detail=False,
                           s2d_fine=mode != "faithful_nhwc", s2d_stages=2,
                           dtype="bfloat16" if on_tpu else "float32",
-                          matching_impl="auto")
+                          matching_impl="auto",
+                          # round-5 execution strategies (identical params &
+                          # outputs; on-chip A/B runs/ab_exec_modes_r5.txt:
+                          # base 110.2 / split 111.2 / shift2d 111.7 /
+                          # both 112.8 pairs/s)
+                          conv3d_impl="shift2d", split_concat=True)
         model = get_model("decnet", cfg)
         ih, iw = 54, 54
         init_masks = [jnp.zeros((1, ih // s, iw // s)) for s in (9, 3, 1)]
